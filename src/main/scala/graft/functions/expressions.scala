@@ -1,0 +1,290 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.{Burl, DuplicateSegments, MurmurHash3Bubing, Robots}
+
+/** Catalyst scalar expressions for the crawl engine (SURVEY.md §2.11).
+  *
+  * `Murmur64Bubing` is whole-stage-codegen'd (it sits on the sieve hot path:
+  * every candidate URL is hashed once per round). The URL/robots string
+  * expressions use interpreted eval (`CodegenFallback`-style): they run only
+  * on the new-URL batch, where `java.net.URI` dominates the cost anyway.
+  */
+
+/** BUbiNG 64-bit MurmurHash3 of a string/binary column
+  * (reference `bubing/util/MurmurHash3.java:85-189`). */
+case class Murmur64Bubing(child: Expression, seed: Long) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = child.dataType match {
+    case StringType =>
+      val b = input.asInstanceOf[UTF8String].getBytes
+      MurmurHash3Bubing.hash(b, 0, b.length, seed)
+    case BinaryType =>
+      val b = input.asInstanceOf[Array[Byte]]
+      MurmurHash3Bubing.hash(b, 0, b.length, seed)
+    case other => throw new IllegalArgumentException(s"murmur64_bubing: unsupported type $other")
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("mmBytes")
+      child.dataType match {
+        case StringType =>
+          s"""byte[] $bytes = $c.getBytes();
+             |${ev.value} = graft.core.MurmurHash3Bubing.hash($bytes, 0, $bytes.length, ${seed}L);
+             |""".stripMargin
+        case _ =>
+          s"${ev.value} = graft.core.MurmurHash3Bubing.hash($c, 0, $c.length, ${seed}L);"
+      }
+    })
+  override protected def withNewChildInternal(newChild: Expression): Murmur64Bubing = copy(child = newChild)
+  override def prettyName: String = "murmur64_bubing"
+}
+
+/** Base for interpreted (non-codegen) string->string scalar expressions. */
+abstract class InterpretedUnary extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+
+/** BURL normalization (reference `bubing/util/BURL.java:132-260`); null for
+  * malformed specs, hence `nullable` regardless of child nullability. */
+case class BurlParse(child: Expression) extends InterpretedUnary {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any = {
+    val out = Burl.parse(input.asInstanceOf[UTF8String].toString)
+    if (out == null) null else UTF8String.fromString(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): BurlParse = copy(child = newChild)
+  override def prettyName: String = "burl_parse"
+}
+
+/** Decomposition of a normalized BURL (reference `BURL.java:377-477`).
+  * `part` is one of scheme|host|schemeAuthority|pathQuery|path. */
+case class BurlPart(child: Expression, part: String) extends InterpretedUnary {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any = {
+    val url = input.asInstanceOf[UTF8String].toString
+    val out = part match {
+      case "scheme"          => Burl.scheme(url)
+      case "host"            => Burl.host(url)
+      case "schemeAuthority" => Burl.schemeAndAuthority(url)
+      case "pathQuery"       => Burl.pathAndQuery(url)
+      case "path"            => Burl.path(url)
+      case other             => throw new IllegalArgumentException(s"unknown burl part: $other")
+    }
+    if (out == null) null else UTF8String.fromString(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): BurlPart = copy(child = newChild)
+  override def prettyName: String = s"burl_$part"
+}
+
+/** Deterministic synthetic DNS (stands in for `frontier/dns/FakeResolver`). */
+case class IpOfHost(child: Expression, space: Long) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    Burl.ipOfHost(input.asInstanceOf[UTF8String].toString, space)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.Burl.ipOfHost($c.toString(), ${space}L)")
+  override protected def withNewChildInternal(newChild: Expression): IpOfHost = copy(child = newChild)
+  override def prettyName: String = "ip_of_host"
+}
+
+/** robots.txt check: true iff pathQuery is allowed by the sorted prefix-free
+  * disallow filter (reference `URLRespectsRobots.java:214-227`). */
+case class RespectsRobots(left: Expression, right: Expression) extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(pathQuery: Any, prefixes: Any): Any = {
+    val pq = pathQuery.asInstanceOf[UTF8String].toString
+    val arr = prefixes.asInstanceOf[ArrayData]
+    val filter = new Array[String](arr.numElements())
+    var i = 0
+    while (i < filter.length) { filter(i) = arr.getUTF8String(i).toString; i += 1 }
+    Robots.allowed(filter, pq)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): RespectsRobots =
+    copy(left = l, right = r)
+  override def prettyName: String = "respects_robots"
+}
+
+/** DuplicateSegmentsLessThan(k) filter
+  * (reference `warc/filters/DuplicateSegmentsLessThan.java:50-130`). */
+case class DuplicateSegmentsLT(child: Expression, threshold: Int) extends InterpretedUnary {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(input: Any): Any =
+    DuplicateSegments.lessThan(input.asInstanceOf[UTF8String].toString, threshold)
+  override protected def withNewChildInternal(newChild: Expression): DuplicateSegmentsLT = copy(child = newChild)
+  override def prettyName: String = "duplicate_segments_lt"
+}
+
+/** Page digest over the parsed span sequence, following the reference's
+  * digest semantics (`bubing/parser/HTMLParser.java:173-299`,
+  * `DigestAppendable.java:228-239`):
+  *   - hasher is seeded with host + NUL (so identical content on different
+  *     hosts digests differently);
+  *   - digit runs and whitespace runs in text collapse to a single space
+  *     (HTMLParser.java:249-262);
+  *   - media refs are mixed in quoted between NULs (analog of the
+  *     iframe/frame src quoting, HTMLParser.java:283-291);
+  *   - for 3xx responses the location is mixed in between NULs
+  *     (HTMLParser.java:636-643).
+  * Result: lowercase hex MD5 string. Inputs: (host, spans, status, location).
+  */
+case class DigestOfSpans(children: Seq[Expression]) extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(children.size == 4, "digest_of_spans(host, spans, status, location)")
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def eval(input: InternalRow): Any = {
+    val host = children(0).eval(input)
+    val spans = children(1).eval(input)
+    if (host == null || spans == null) return null
+    val status = children(2).eval(input) match { case null => 200; case i: Int => i }
+    val location = children(3).eval(input) match { case null => ""; case s: UTF8String => s.toString }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(host.asInstanceOf[UTF8String].getBytes)
+    md.update(0.toByte)
+    val arr = spans.asInstanceOf[ArrayData]
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < arr.numElements()) {
+      val span = arr.getStruct(i, 4)
+      if (!span.isNullAt(0)) {
+        val kind = span.getUTF8String(0).toString
+        if (kind == "text" && !span.isNullAt(1)) {
+          appendCoalesced(sb, span.getUTF8String(1).toString)
+        } else if (kind == "media" && !span.isNullAt(2)) {
+          sb.append(' ').append('"').append(span.getUTF8String(2).toString).append('"').append(' ')
+        }
+      }
+      i += 1
+    }
+    md.update(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (status / 100 == 3) {
+      md.update(0.toByte)
+      md.update(location.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.update(0.toByte)
+    }
+    val hex = md.digest().map(b => f"$b%02x").mkString
+    UTF8String.fromString(hex)
+  }
+  /** Digit runs and whitespace runs collapse to one space (HTMLParser.java:249-262). */
+  private def appendCoalesced(sb: java.lang.StringBuilder, text: String): Unit = {
+    var i = 0
+    var lastWasSpace = sb.length() > 0 && sb.charAt(sb.length() - 1) == ' '
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (Character.isDigit(c) || Character.isWhitespace(c)) {
+        if (!lastWasSpace) { sb.append(' '); lastWasSpace = true }
+      } else { sb.append(c); lastWasSpace = false }
+      i += 1
+    }
+  }
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): DigestOfSpans =
+    copy(children = newChildren)
+  override def prettyName: String = "digest_of_spans"
+}
+
+/** SimHash-64 over whitespace tokens: sign-sum of per-token murmur hashes.
+  * Standard Charikar construction (public algorithm). */
+case class SimHash64(child: Expression) extends InterpretedUnary {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val counts = new Array[Int](64)
+    var start = 0
+    val n = text.length
+    var i = 0
+    while (i <= n) {
+      if (i == n || text.charAt(i) == ' ') {
+        if (i > start) {
+          val h = MurmurHash3Bubing.hashString(text.substring(start, i))
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+            b += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 = copy(child = newChild)
+  override def prettyName: String = "simhash64"
+}
+
+/** MinHash signature: `n` min-hashes over character `k`-shingles, using
+  * seeded murmur64 per hash function. Returns array<long> of length n. */
+case class MinHashes(child: Expression, k: Int, n: Int) extends InterpretedUnary {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val mins = Array.fill(n)(Long.MaxValue)
+    if (text.length >= k) {
+      var i = 0
+      val last = text.length - k
+      while (i <= last) {
+        val base = MurmurHash3Bubing.hashString(text.substring(i, i + k))
+        var j = 0
+        while (j < n) {
+          // Distinct hash functions via affine remix of the base hash
+          // (one string hash per shingle, n cheap remixes).
+          val h = java.lang.Long.rotateLeft(base, j % 64) * (2 * j + 1) + j * 0x9e3779b97f4a7c15L
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(mins)
+  }
+  override protected def withNewChildInternal(newChild: Expression): MinHashes = copy(child = newChild)
+  override def prettyName: String = "minhashes"
+}
+
+/** Rolling (Rabin-Karp, base 31) 64-bit fingerprint of a document: the min
+  * rolling hash over all windows of `window` chars — a shift-resistant
+  * document fingerprint (winnowing-style, public technique). */
+case class RollingFingerprint(child: Expression, window: Int) extends InterpretedUnary {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val n = text.length
+    if (n == 0) return 0L
+    if (n <= window) return MurmurHash3Bubing.hashString(text)
+    var pow = 1L
+    var i = 0
+    while (i < window - 1) { pow *= 31L; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < window) { h = h * 31L + text.charAt(i); i += 1 }
+    var min = mix(h)
+    i = window
+    while (i < n) {
+      h = (h - text.charAt(i - window) * pow) * 31L + text.charAt(i)
+      val m = mix(h)
+      if (m < min) min = m
+      i += 1
+    }
+    min
+  }
+  @inline private def mix(h0: Long): Long = {
+    var h = h0
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+    h
+  }
+  override protected def withNewChildInternal(newChild: Expression): RollingFingerprint = copy(child = newChild)
+  override def prettyName: String = "rolling_fingerprint"
+}

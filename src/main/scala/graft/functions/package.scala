@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge.{column => mkCol, expression => toExpr}
+
+/** Column-level API over the custom Catalyst expressions (SURVEY.md §2.11). */
+package object functions {
+
+  /** BUbiNG's 64-bit MurmurHash3 (NOT Spark's hash/xxhash64). */
+  def murmur64(c: Column, seed: Long = 0L): Column = mkCol(Murmur64Bubing(toExpr(c), seed))
+
+  /** URL normalization; null for malformed specs (BURL.parse). */
+  def burl_parse(c: Column): Column = mkCol(BurlParse(toExpr(c)))
+
+  def burl_scheme(c: Column): Column = mkCol(BurlPart(toExpr(c), "scheme"))
+  def burl_host(c: Column): Column = mkCol(BurlPart(toExpr(c), "host"))
+  def burl_scheme_authority(c: Column): Column = mkCol(BurlPart(toExpr(c), "schemeAuthority"))
+  def burl_path_query(c: Column): Column = mkCol(BurlPart(toExpr(c), "pathQuery"))
+  def burl_path(c: Column): Column = mkCol(BurlPart(toExpr(c), "path"))
+
+  /** Deterministic synthetic DNS: host -> ip id in [0, space). */
+  def ip_of_host(c: Column, space: Long = 1L << 20): Column = mkCol(IpOfHost(toExpr(c), space))
+
+  /** True iff pathQuery passes the robots disallow-prefix filter. */
+  def respects_robots(pathQuery: Column, prefixes: Column): Column =
+    mkCol(RespectsRobots(toExpr(pathQuery), toExpr(prefixes)))
+
+  /** True iff the path has < threshold duplicate consecutive segments. */
+  def duplicate_segments_lt(path: Column, threshold: Int): Column =
+    mkCol(DuplicateSegmentsLT(toExpr(path), threshold))
+
+  /** Page digest (hex MD5) over the span sequence, host-seeded. */
+  def digest_of_spans(host: Column, spans: Column, status: Column, location: Column): Column =
+    mkCol(DigestOfSpans(Seq(toExpr(host), toExpr(spans), toExpr(status), toExpr(location))))
+
+  /** 64-bit SimHash over whitespace tokens. */
+  def simhash64(text: Column): Column = mkCol(SimHash64(toExpr(text)))
+
+  /** MinHash signature: n min-hashes over char k-shingles -> array<long>. */
+  def minhashes(text: Column, k: Int, n: Int): Column = mkCol(MinHashes(toExpr(text), k, n))
+
+  /** Min rolling-hash (winnowing-style) document fingerprint. */
+  def rolling_fingerprint(text: Column, window: Int = 16): Column =
+    mkCol(RollingFingerprint(toExpr(text), window))
+}
