@@ -1,0 +1,89 @@
+package graft.frontier
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** The URL-seen sieve: exact, order-preserving batch deduplication — the
+  * Spark reading of the Mercator sieve (`sieve/MercatorSieve.java:274-391`,
+  * SURVEY.md §2.3/§2.6).
+  *
+  * Semantics (verified against `MercatorSieveTest.java:297-337` fixtures):
+  *   - duplicates *within* a batch: first enqueue wins
+  *     (MercatorSieve.java:311-318 — stabilized sort by hash, first kept);
+  *   - URLs already in the seen store are dropped (sorted-merge, :311-344);
+  *   - survivors exit in FIRST-ENQUEUE ORDER (:349-363 re-sorts surviving
+  *     positions back to input order).
+  *
+  * The reference's batched sort-merge against a sorted hash file is exactly
+  * what a sort-merge **left-anti join** on `urlHash` does; at 10^10-URL
+  * scale Catalyst/AQE picks SMJ for large-large, reproducing Mercator's
+  * sequential-merge I/O pattern natively (SURVEY.md §4 P1).
+  *
+  * The optional broadcast Bloom filter is the north_rule's "broadcast-
+  * refreshed bloom/cuckoo URL-seen set": it culls the (vast) never-seen
+  * majority *before* the anti-join; the anti-join of the maybe-seen
+  * remainder keeps membership exact. The filter is refreshed (rebuilt)
+  * once per round from the appended seen table.
+  */
+object Sieve {
+
+  /** Within-batch first-wins dedup + anti-join against `seen`, preserving
+    * first-enqueue order via the explicit order columns.
+    *
+    * @param candidates must have `urlHash` plus the order columns
+    * @param seen       table with column `urlHash` (may be empty)
+    * @param orderCols  lexicographic first-enqueue order of the batch
+    * @param bloom      optional broadcast-ready bloom over seen hashes
+    * @return candidate rows that are genuinely new, one per urlHash
+    */
+  def newUrls(
+      candidates: DataFrame,
+      seen: DataFrame,
+      orderCols: Seq[String],
+      bloom: Option[BloomFilter] = None): DataFrame = {
+    val spark = candidates.sparkSession
+    val order = orderCols.map(col)
+
+    // First-wins within the batch (MercatorSieve.java:311-318).
+    val wInBatch = Window.partitionBy(col("urlHash")).orderBy(order: _*)
+    val deduped = candidates
+      .withColumn("__rn", row_number().over(wInBatch))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+
+    bloom match {
+      case None =>
+        deduped.join(seen, Seq("urlHash"), "left_anti")
+      case Some(bf) =>
+        val bcast = spark.sparkContext.broadcast(bf)
+        val mightContain = udf((h: Long) => bcast.value.mightContainLong(h))
+        // Definitely-new rows skip the join entirely; only bloom-positive
+        // rows (true hits + false positives) pay the exact anti-join.
+        val flagged = deduped.withColumn("__maybe", mightContain(col("urlHash")))
+        val sure = flagged.where(!col("__maybe")).drop("__maybe")
+        val maybe = flagged.where(col("__maybe")).drop("__maybe")
+          .join(seen, Seq("urlHash"), "left_anti")
+        sure.unionByName(maybe)
+    }
+  }
+
+  /** Build a bloom filter over the seen table's hashes (one pass; driver
+    * holds only the bitset, sized for `expected` items at `fpp`). */
+  def seenBloom(seen: DataFrame, expected: Long, fpp: Double = 0.01): BloomFilter =
+    seen.stat.bloomFilter("urlHash", math.max(expected, 1L), fpp)
+
+  /** Assign dense, deterministic `seq` numbers to a (small) per-round batch
+    * of new URLs: `startSeq + rank` in the batch's first-enqueue order.
+    *
+    * The global window is a deliberate, documented choice: the reference
+    * itself re-sorts each sieve flush globally (`MercatorSieve.java:349`),
+    * and the batch being ranked is the per-round *new-URL* set — orders of
+    * magnitude smaller than the seen store (SURVEY.md §7.4). */
+  def assignSeq(newUrls: DataFrame, orderCols: Seq[String], startSeq: Long): DataFrame = {
+    val w = Window.orderBy(orderCols.map(col): _*)
+    newUrls
+      .withColumn("seq", row_number().over(w).cast("long") + startSeq)
+  }
+}

@@ -1,0 +1,72 @@
+package graft.frontier
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sieve semantics vs the reference's `MercatorSieveTest` (FIXTURES.md §6):
+  * uniqueness, completeness, and FIRST-ENQUEUE output order. */
+class SieveSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import graft.core.MurmurHash3Bubing
+
+  private def batch(urls: Seq[String], startIdx: Long) = {
+    import spark.implicits._
+    urls.zipWithIndex.map { case (u, i) =>
+      (u, MurmurHash3Bubing.hashString(u), 0L, startIdx + i)
+    }.toDF("url", "urlHash", "parentSeq", "linkIdx")
+  }
+
+  private def emptySeen = {
+    import spark.implicits._
+    Seq.empty[Long].toDF("urlHash")
+  }
+
+  test("MercatorSieveTest.java:297-337 order fixture") {
+    import spark.implicits._
+    // flush 1: A0,A1,A0,A3 -> A0,A1,A3 ; flush 2: A0,A5,A2,A2,A5,A6 -> A5,A2,A6
+    val b1 = batch(Seq("A0", "A1", "A0", "A3"), 0)
+    val out1 = Sieve.assignSeq(Sieve.newUrls(b1, emptySeen, Seq("parentSeq", "linkIdx")),
+      Seq("parentSeq", "linkIdx"), startSeq = -1L)
+    assert(out1.orderBy("seq").select("url").as[String].collect().toSeq == Seq("A0", "A1", "A3"))
+
+    val seen1 = out1.select("urlHash")
+    val b2 = batch(Seq("A0", "A5", "A2", "A2", "A5", "A6"), 10)
+    val out2 = Sieve.assignSeq(Sieve.newUrls(b2, seen1, Seq("parentSeq", "linkIdx")),
+      Seq("parentSeq", "linkIdx"), startSeq = 2L)
+    assert(out2.orderBy("seq").select("url").as[String].collect().toSeq == Seq("A5", "A2", "A6"))
+    assert(out2.select("seq").as[Long].collect().sorted.toSeq == Seq(3L, 4L, 5L))
+  }
+
+  test("property: output == stable first-occurrence subsequence (random)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val urls = Vector.fill(500)("u" + rnd.nextInt(120))
+    val expected = urls.distinct // first-occurrence order
+    val b = batch(urls, 0)
+    val out = Sieve.assignSeq(Sieve.newUrls(b, emptySeen, Seq("parentSeq", "linkIdx")),
+      Seq("parentSeq", "linkIdx"), startSeq = -1L)
+    assert(out.orderBy("seq").select("url").as[String].collect().toSeq == expected)
+  }
+
+  test("bloom-prefiltered path gives identical results to exact path") {
+    import spark.implicits._
+    val seenUrls = (0 until 200).map("s" + _)
+    val seen = seenUrls.map(MurmurHash3Bubing.hashString).toDF("urlHash")
+    val rnd = new scala.util.Random(11)
+    val mixed = Vector.fill(400)(if (rnd.nextBoolean()) "s" + rnd.nextInt(300) else "n" + rnd.nextInt(150))
+    val b = batch(mixed, 0)
+    val bloom = Sieve.seenBloom(seen, expected = 200)
+    val exact = Sieve.newUrls(b, seen, Seq("parentSeq", "linkIdx"), None)
+      .orderBy("linkIdx").select("url").as[String].collect().toSeq
+    val bloomed = Sieve.newUrls(b, seen, Seq("parentSeq", "linkIdx"), Some(bloom))
+      .orderBy("linkIdx").select("url").as[String].collect().toSeq
+    assert(exact == bloomed)
+    assert(exact.forall(!_.startsWith("s") || !seenUrls.contains(exact)))
+  }
+}
