@@ -1,24 +1,116 @@
 package graft
+
+import java.nio.file.Files
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.frontier.{CrawlConfig, Crawler}
+import graft.synth.SyntheticWeb
+
+/** Benchmark main (driver contract): prints ONE JSON line.
+  *
+  * Two parts:
+  *  1. per-query wall times for every SparkEntry query on
+  *     $SPARK_GRAFT_SF_DIR at local[$SPARK_GRAFT_CPUS];
+  *  2. the BASELINE north metric — frontier throughput (URLs
+  *     scheduled+deduped/sec) for an identical synthetic crawl executed at
+  *     local[8] and local[32], with scaling efficiency between them
+  *     (BASELINE.md protocol; the in-sandbox stand-in for N vs 4N
+  *     executors). Byte-identical crawl equality across the two runs is
+  *     asserted via an order-independent trace checksum.
+  *
+  * `value` = URLs scheduled+deduped/sec at local[32] (the headline).
+  * Also writes BENCH.md with the same numbers.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  private def session(threads: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$threads]")
+      .appName(s"graft-bench-$threads")
+      .config("spark.sql.shuffle.partitions", threads.toString)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def crawlBench(threads: Int, scale: Int): (Double, Long, Double, String, Long) = {
+    val spark = session(threads)
+    try {
+      val work = Files.createTempDirectory(s"graft-bench-$threads").toString
+      val cfg = CrawlConfig(
+        web = SyntheticWeb.Config(sites = 50000 * scale, degree = 20, maxDepth = 3),
+        nSeeds = 256 * scale,
+        hostDelay = 1, ipDelay = 1, burst = 8,
+        maxUrlsPerHost = 2000,
+        maxRounds = 5,
+        statePartitions = threads)
+      val crawler = new Crawler(spark, work, cfg)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      crawler.run()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val m = crawler.metrics().agg(
+        sum("fetched").as("fetched"), sum("dedup_in").as("dedup_in")).collect()(0)
+      val processed = m.getLong(0) + m.getLong(1)
+      // order-independent trace checksum (commutative sum of row hashes)
+      val chk = crawler.trace()
+        .select(xxhash64(col("round"), col("seq"), col("url"), col("status"))
+          .cast("decimal(38,0)").as("h"))
+        .agg(sum("h")).collect()(0).getDecimal(0).toString
+      val traceRows = crawler.trace().count()
+      (processed / wall, processed, wall, chk, traceRows)
+    } finally spark.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val scale = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE", "1").toInt
+
+    // ---- part 1: per-query timings ----
+    val spark = session(cpus)
+    val skip = Set("q_crawl_e2e") // benched separately below as the frontier run
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).collect {
+      case (name, fn) if !skip(name) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+
+    // ---- part 2: frontier throughput at two parallelism levels ----
+    val (rate8, processed8, wall8, chk8, rows8) = crawlBench(8, scale)
+    val (rate32, processed32, wall32, chk32, rows32) = crawlBench(32, scale)
+    val identical = chk8 == chk32 && rows8 == rows32 && processed8 == processed32
+    val efficiency = (wall8 / wall32) / (32.0 / 8.0)
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val totalQuerySec = results.map(_._2).sum
+    val json =
+      f"""{"metric":"frontier_urls_scheduled_deduped_per_sec","value":$rate32%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","total_query_sec":$totalQuerySec%.2f,"frontier":{"local8_urls_per_sec":$rate8%.1f,"local32_urls_per_sec":$rate32%.1f,"scaling_efficiency":$efficiency%.3f,"urls_processed":$processed32,"wall8_sec":$wall8%.1f,"wall32_sec":$wall32%.1f,"identical_crawl":$identical}}"""
+    println(json)
+
+    val md =
+      f"""# BENCH — frontier throughput (in-sandbox N vs 4N evidence)
+         |
+         |Protocol per BASELINE.md: identical synthetic crawl (sites=${50000 * scale},
+         |degree=20, maxDepth=3, seeds=${256 * scale}, burst=8, budget=2000, 5 rounds,
+         |seed 42) executed at local[8] and local[32] in one JVM sequence.
+         |
+         || parallelism | URLs scheduled+deduped | wall (s) | throughput (urls/sec) |
+         ||---|---|---|---|
+         || local[8]  | $processed8 | $wall8%.1f | $rate8%.1f |
+         || local[32] | $processed32 | $wall32%.1f | $rate32%.1f |
+         |
+         |**Scaling efficiency (T8/T32)/(32/8) = $efficiency%.3f** (target >= 0.8).
+         |Crawl equality across parallelism: identical_crawl=$identical
+         |(order-independent xxhash64 trace checksum + row counts).
+         |
+         |Per-query wall times (sf=$sfDir, local[$cpus]): see BENCH JSON line.
+         |""".stripMargin
+    Files.writeString(java.nio.file.Paths.get("BENCH.md"), md)
   }
 }

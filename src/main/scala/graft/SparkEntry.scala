@@ -1,13 +1,407 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.analytics.{Dedup, Multimodal, Similarity, TextStats}
+import graft.core.FilterDsl
+import graft.functions._
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2), each with an equivalent DuckDB oracle where the
+  * semantics are ANSI-SQL-expressible (custom expressions like
+  * murmur64/burl_parse/minhash are covered by unit tests + rows-only).
+  *
+  * Float-safety: money sums go through DECIMAL or integer cents so the
+  * result is order-independent and bit-identical to DuckDB; plain double
+  * sums appear only where addends are integral-valued. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(dir: String, name: String) = s"$dir/$name.parquet"
+
+  /** Deterministic synthetic URL stream derived from `events` — the same
+    * construction is written in SQL inside the oracles, so the crawl
+    * operators (sieve/politeness/budget/filters) are DuckDB-checkable. */
+  private def urlStream(s: SparkSession, dir: String): DataFrame = {
+    s.read.parquet(t(dir, "events")).select(
+      col("event_id").as("seq"),
+      (col("user_id") % 8).as("ip"),
+      concat(lit("h"), (col("user_id") % 40).cast("string"), lit(".example")).as("host"),
+      concat(lit("http://h"), (col("user_id") % 40).cast("string"), lit(".example/p"),
+        (col("event_id") % 500).cast("string")).as("url"))
+  }
+
+  private val urlStreamSql =
+    """SELECT event_id AS seq,
+      |       user_id % 8 AS ip,
+      |       'h' || CAST(user_id % 40 AS VARCHAR) || '.example' AS host,
+      |       'http://h' || CAST(user_id % 40 AS VARCHAR) || '.example/p' ||
+      |         CAST(event_id % 500 AS VARCHAR) AS url
+      |FROM events""".stripMargin
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0: the sieve
+    * (first-enqueue-order distinct) over the derived URL stream. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    qSieveFirstSeen(spark, "/root/testdata/sf0.001")
+
+  // ---------------- crawl-semantic operators ----------------
+
+  /** Mercator-sieve semantics: first-seen seq per URL + enqueue rank. */
+  private def qSieveFirstSeen(s: SparkSession, dir: String): DataFrame = {
+    val firsts = urlStream(s, dir).groupBy("url").agg(min("seq").as("first_seq"))
+    firsts.withColumn("enqueue_rank",
+      row_number().over(Window.orderBy("first_seq")).cast("long"))
+  }
+
+  /** Dual politeness: rank-1 per host, then rank-1 per IP (SURVEY §2.5). */
+  private def qPolitenessRank(s: SparkSession, dir: String): DataFrame = {
+    val urls = urlStream(s, dir)
+    val wHost = Window.partitionBy("host").orderBy("seq")
+    val wIp = Window.partitionBy("ip").orderBy(col("seq"), col("host"))
+    urls.withColumn("host_rank", row_number().over(wHost)).where(col("host_rank") === 1)
+      .withColumn("ip_rank", row_number().over(wIp)).where(col("ip_rank") === 1)
+      .select("ip", "host", "url", "seq")
+  }
+
+  /** Per-host budget: first 3 URLs per host in seq order. */
+  private def qHostBudget(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("host").orderBy("seq")
+    urlStream(s, dir)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 3)
+      .select("host", "url", "seq", "rnk")
+  }
+
+  /** Filter DSL compiled to Catalyst over a derived URL table. */
+  private def qFilterDsl(s: SparkSession, dir: String): DataFrame = {
+    val urls = s.read.parquet(t(dir, "events")).select(
+      col("event_id").as("seq"),
+      concat(
+        when(col("user_id") % 5 === 0, "ftp").otherwise("http"),
+        lit("://h"), (col("user_id") % 40).cast("string"), lit(".example/p"),
+        (col("event_id") % 500).cast("string"),
+        when(col("event_id") % 7 === 0, ".jpg").otherwise("")).as("url"))
+    val dsl = "( SchemeEquals(http) or SchemeEquals(https) ) and URLShorterThan(40) and not PathEndsWithOneOf(.jpg)"
+    urls.where(FilterDsl.compile(dsl, FilterDsl.urlContext(col("url"))))
+      .select("seq", "url")
+  }
+
+  /** robots.txt prefix filter over pathQuery (binary-search matcher). */
+  private def qRobotsCheck(s: SparkSession, dir: String): DataFrame = {
+    val urls = urlStream(s, dir)
+      .withColumn("path_query", concat(lit("/p"), (col("seq") % 13).cast("string")))
+    urls.select(col("url"), col("path_query"),
+      respects_robots(col("path_query"), array(lit("/p1"), lit("/p3"))).as("allowed"))
+  }
+
+  /** DuplicateSegmentsLessThan(3) over constructed paths. */
+  private def qDupSegments(s: SparkSession, dir: String): DataFrame = {
+    val urls = s.read.parquet(t(dir, "events")).select(
+      col("event_id").as("seq"),
+      when(col("event_id") % 4 === 0, "/a/b/a/b/x")
+        .when(col("event_id") % 4 === 1, "/p/q/x")
+        .when(col("event_id") % 4 === 2, "/a/a/a")
+        .otherwise("/ok").as("path"))
+    urls.select(col("seq"), col("path"),
+      duplicate_segments_lt(col("path"), 3).as("accepted"))
+  }
+
+  // ---------------- relational core (scan/agg/join/window/sort) ----------------
+
+  private def q1Agg(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(t(dir, "lineitem"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        count(lit(1)).as("count_order"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+        (sum("l_quantity") / count(lit(1))).as("avg_qty"))
+
+  /** Broadcast join + exact integer-cents revenue + top-N. */
+  private def qJoinTopN(s: SparkSession, dir: String): DataFrame = {
+    val li = s.read.parquet(t(dir, "lineitem"))
+    val orders = s.read.parquet(t(dir, "orders"))
+    val revenue = li
+      .withColumn("cents", round(col("l_extendedprice") * 100).cast("long"))
+      .withColumn("disc", round(col("l_discount") * 100).cast("long"))
+      .groupBy("l_orderkey")
+      .agg(sum(col("cents") * (lit(100L) - col("disc"))).as("revenue_c4"))
+    revenue.join(broadcast(orders.select(col("o_orderkey"), col("o_custkey"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("orderkey"), col("o_custkey").as("custkey"), col("revenue_c4"))
+      .orderBy(col("revenue_c4").desc, col("orderkey"))
+      .limit(10)
+  }
+
+  /** Window ranking: first 2 shipments per supplier. */
+  private def qWindowShipments(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    s.read.parquet(t(dir, "lineitem"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 2)
+      .select(col("l_suppkey").as("suppkey"), col("l_orderkey").as("orderkey"),
+        col("l_linenumber").as("linenumber"),
+        unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"), col("rn"))
+  }
+
+  /** Event-time tumbling window aggregation (hourly). */
+  private def qEventsHourly(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(t(dir, "events"))
+      .withColumn("hour_id", floor(unix_micros(col("ts").cast("timestamp")) / 3.6e9).cast("long"))
+      .groupBy("hour_id", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"),
+        countDistinct("user_id").as("n_users"))
+
+  // ---------------- training-data pipeline operators ----------------
+
+  private def qExactDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(s.read.parquet(t(dir, "documents")), "doc_id", "text")
+
+  private def qTokenCount(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(t(dir, "documents"))
+      .select(col("doc_id"), TextStats.tokenCount(col("text")).cast("long").as("n_tokens"))
+
+  private def qQuality(s: SparkSession, dir: String): DataFrame =
+    TextStats.qualityFeatures(s.read.parquet(t(dir, "documents")), "doc_id", "text")
+
+  private def qLangId(s: SparkSession, dir: String): DataFrame =
+    TextStats.langId(s.read.parquet(t(dir, "documents")), "doc_id", "text")
+
+  private def qMediaBytes(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(t(dir, "documents"))
+      .select(col("doc_id"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
+
+  // ---- rows-only (custom expressions; semantics covered by unit tests) ----
+
+  private def qBurlNormalize(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(t(dir, "documents"))
+      .select(col("doc_id"),
+        concat(lit("HTTP://Host"), (col("doc_id") % 97).cast("string"),
+          lit(".Example:80/A b/"), (col("doc_id") % 7).cast("string"),
+          lit("/../x#frag")).as("spec"))
+      .withColumn("url", burl_parse(col("spec")))
+      .withColumn("host", burl_host(col("url")))
+      .withColumn("url_hash", murmur64(col("url")))
+
+  private def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    TextStats.fingerprints(s.read.parquet(t(dir, "documents")), "doc_id", "text")
+
+  private def qSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashCandidatePairs(
+      s.read.parquet(t(dir, "documents")).limit(4000), "doc_id", "text", maxHamming = 16)
+
+  private def qMinhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidatePairs(
+      s.read.parquet(t(dir, "documents")).limit(4000), "doc_id", "text",
+      shingleK = 5, numHashes = 32, bands = 8, minEstJaccard = 0.3)
+
+  private def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents")).limit(4000)
+    val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+      shingleK = 5, numHashes = 32, bands = 8, minEstJaccard = 0.0)
+    Dedup.ngramJaccard(pairs, docs, "doc_id", "text", n = 3)
+  }
+
+  private def qAnnBrute(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(t(dir, "embeddings"))
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    Similarity.bruteForceTopK(emb.where(col("vec_id") =!= 0), "vec_id", "embedding", q, 10)
+  }
+
+  private def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(t(dir, "embeddings"))
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    Similarity.lshTopK(emb.where(col("vec_id") =!= 0), "vec_id", "embedding", q, 10)
+  }
+
+  private def qEmbeddingNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupPairs(
+      s.read.parquet(t(dir, "embeddings")).limit(2000), "vec_id", "embedding",
+      planes = 6, minCosine = 0.2)
+
+  private def qMediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = s.read.parquet(t(dir, "documents")).limit(1000)
+      .select(col("doc_id").cast("string").as("doc_id"),
+        array(struct(lit("media").as("kind"), lit("").as("text"),
+          concat(lit("http://m.example/img"), col("doc_id")).as("media_ref"),
+          lit(0).as("offset"))).as("spans"))
+    Multimodal.extractFeatures(Multimodal.mediaTable(docs, s)).toDF
+  }
+
+  /** End-to-end mini-crawl (frontier+scheduler) — rows-only smoke. */
+  private def qCrawlE2e(s: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft-q-crawl").toString
+    val cfg = frontier.CrawlConfig(
+      web = synth.SyntheticWeb.Config(sites = 60, degree = 4, maxDepth = 2),
+      nSeeds = 6, maxRounds = 4, burst = 2, statePartitions = 4)
+    val c = new frontier.Crawler(s, work, cfg)
+    c.run()
+    c.trace()
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sieve_first_seen" -> (qSieveFirstSeen(_, _)),
+    "q_politeness_rank" -> (qPolitenessRank(_, _)),
+    "q_host_budget" -> (qHostBudget(_, _)),
+    "q_filter_dsl" -> (qFilterDsl(_, _)),
+    "q_robots_check" -> (qRobotsCheck(_, _)),
+    "q_dup_segments" -> (qDupSegments(_, _)),
+    "q1_agg" -> (q1Agg(_, _)),
+    "q_join_topn" -> (qJoinTopN(_, _)),
+    "q_window_shipments" -> (qWindowShipments(_, _)),
+    "q_events_hourly" -> (qEventsHourly(_, _)),
+    "q_exact_dedup" -> (qExactDedup(_, _)),
+    "q_token_count" -> (qTokenCount(_, _)),
+    "q_quality" -> (qQuality(_, _)),
+    "q_lang_id" -> (qLangId(_, _)),
+    "q_media_bytes" -> (qMediaBytes(_, _)),
+    "q_burl_normalize" -> (qBurlNormalize(_, _)),
+    "q_fingerprint" -> (qFingerprint(_, _)),
+    "q_simhash_pairs" -> (qSimhashPairs(_, _)),
+    "q_minhash_pairs" -> (qMinhashPairs(_, _)),
+    "q_ngram_jaccard" -> (qNgramJaccard(_, _)),
+    "q_ann_brute" -> (qAnnBrute(_, _)),
+    "q_ann_lsh" -> (qAnnLsh(_, _)),
+    "q_embedding_neardup" -> (qEmbeddingNearDup(_, _)),
+    "q_media_features" -> (qMediaFeatures(_, _)),
+    "q_crawl_e2e" -> (qCrawlE2e(_, _))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_sieve_first_seen" ->
+      s"""SELECT url, first_seq,
+         |       CAST(row_number() OVER (ORDER BY first_seq) AS BIGINT) AS enqueue_rank
+         |FROM (SELECT url, min(seq) AS first_seq FROM ($urlStreamSql) GROUP BY url)""".stripMargin,
+    "q_politeness_rank" ->
+      s"""WITH u AS ($urlStreamSql),
+         |h AS (SELECT *, row_number() OVER (PARTITION BY host ORDER BY seq) AS host_rank FROM u)
+         |SELECT ip, host, url, seq FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY ip ORDER BY seq, host) AS ip_rank
+         |  FROM h WHERE host_rank = 1) WHERE ip_rank = 1""".stripMargin,
+    "q_host_budget" ->
+      s"""SELECT host, url, seq, rnk FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY host ORDER BY seq) AS BIGINT) AS rnk
+         |  FROM ($urlStreamSql)) WHERE rnk <= 3""".stripMargin,
+    "q_filter_dsl" ->
+      """WITH u AS (
+        |  SELECT event_id AS seq,
+        |         (CASE WHEN user_id % 5 = 0 THEN 'ftp' ELSE 'http' END) ||
+        |         '://h' || CAST(user_id % 40 AS VARCHAR) || '.example/p' ||
+        |         CAST(event_id % 500 AS VARCHAR) ||
+        |         (CASE WHEN event_id % 7 = 0 THEN '.jpg' ELSE '' END) AS url
+        |  FROM events)
+        |SELECT seq, url FROM u
+        |WHERE url LIKE 'http://%' AND length(url) < 40 AND url NOT LIKE '%.jpg'""".stripMargin,
+    "q_robots_check" ->
+      s"""SELECT url, '/p' || CAST(seq % 13 AS VARCHAR) AS path_query,
+         |       NOT (('/p' || CAST(seq % 13 AS VARCHAR)) LIKE '/p1%'
+         |         OR ('/p' || CAST(seq % 13 AS VARCHAR)) LIKE '/p3%') AS allowed
+         |FROM ($urlStreamSql)""".stripMargin,
+    "q_dup_segments" ->
+      """SELECT event_id AS seq,
+        |       CASE WHEN event_id % 4 = 0 THEN '/a/b/a/b/x'
+        |            WHEN event_id % 4 = 1 THEN '/p/q/x'
+        |            WHEN event_id % 4 = 2 THEN '/a/a/a'
+        |            ELSE '/ok' END AS path,
+        |       event_id % 4 <> 2 AS accepted
+        |FROM events""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(l_quantity) AS sum_qty,
+        |       count(*) AS count_order,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       sum(l_quantity) / count(*) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_join_topn" ->
+      """SELECT l_orderkey AS orderkey, o_custkey AS custkey, revenue_c4 FROM (
+        |  SELECT l_orderkey,
+        |         sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |             (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_c4
+        |  FROM lineitem GROUP BY l_orderkey) r
+        |JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY revenue_c4 DESC, orderkey LIMIT 10""".stripMargin,
+    "q_window_shipments" ->
+      """SELECT l_suppkey AS suppkey, l_orderkey AS orderkey, l_linenumber AS linenumber,
+        |       epoch_us(l_shipdate) AS ship_us, rn FROM (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS BIGINT) AS rn
+        |  FROM lineitem) WHERE rn <= 2""".stripMargin,
+    "q_events_hourly" ->
+      """SELECT CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hour_id,
+        |       event_type,
+        |       count(*) AS n,
+        |       sum(CAST(round(value * 100) AS BIGINT)) AS value_cents,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keeper
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_token_count" ->
+      "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents",
+    "q_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS DOUBLE) AS n_chars,
+        |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+        |  CAST(length(text) AS DOUBLE) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) AS avg_token_len,
+        |  ( CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS DOUBLE)
+        |  + CAST((length(text) - length(replace(text, ' and ', ''))) / 5 AS DOUBLE)
+        |  + CAST((length(text) - length(replace(text, ' of ', ''))) / 4 AS DOUBLE)
+        |  + CAST((length(text) - length(replace(text, ' a ', ''))) / 3 AS DOUBLE)
+        |  + CAST((length(text) - length(replace(text, ' to ', ''))) / 4 AS DOUBLE)
+        |  ) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) AS stopword_ratio,
+        |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+        |    / greatest(CAST(length(text) AS DOUBLE), 1.0) AS digit_ratio,
+        |  least(1.0, (( CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS DOUBLE)
+        |  + CAST((length(text) - length(replace(text, ' and ', ''))) / 5 AS DOUBLE)
+        |  + CAST((length(text) - length(replace(text, ' of ', ''))) / 4 AS DOUBLE)
+        |  + CAST((length(text) - length(replace(text, ' a ', ''))) / 3 AS DOUBLE)
+        |  + CAST((length(text) - length(replace(text, ' to ', ''))) / 4 AS DOUBLE)
+        |  ) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0)) * 4)
+        |  * (1.0 - CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+        |    / greatest(CAST(length(text) AS DOUBLE), 1.0)) AS quality
+        |FROM documents""".stripMargin,
+    "q_lang_id" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST((length(p)-length(replace(p,' the ','')))/5
+        |       + (length(p)-length(replace(p,' and ','')))/5
+        |       + (length(p)-length(replace(p,' of ','')))/4 AS BIGINT) AS s_en,
+        |    CAST((length(p)-length(replace(p,' el ','')))/4
+        |       + (length(p)-length(replace(p,' la ','')))/4
+        |       + (length(p)-length(replace(p,' de ','')))/4
+        |       + (length(p)-length(replace(p,' que ','')))/5 AS BIGINT) AS s_es,
+        |    CAST((length(p)-length(replace(p,' der ','')))/5
+        |       + (length(p)-length(replace(p,' und ','')))/5
+        |       + (length(p)-length(replace(p,' die ','')))/5 AS BIGINT) AS s_de,
+        |    CAST((length(p)-length(replace(p,' le ','')))/4
+        |       + (length(p)-length(replace(p,' la ','')))/4
+        |       + (length(p)-length(replace(p,' et ','')))/4
+        |       + (length(p)-length(replace(p,' les ','')))/5 AS BIGINT) AS s_fr
+        |  FROM (SELECT doc_id, ' ' || text || ' ' AS p FROM documents))
+        |SELECT doc_id,
+        |  CASE WHEN greatest(s_en,s_es,s_de,s_fr) = 0 THEN 'und'
+        |       WHEN s_en = greatest(s_en,s_es,s_de,s_fr) THEN 'en'
+        |       WHEN s_es = greatest(s_en,s_es,s_de,s_fr) THEN 'es'
+        |       WHEN s_de = greatest(s_en,s_es,s_de,s_fr) THEN 'de'
+        |       ELSE 'fr' END AS lang_pred,
+        |  greatest(s_en,s_es,s_de,s_fr) AS lang_score
+        |FROM s""".stripMargin,
+    "q_media_bytes" ->
+      "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents",
+    "q_ann_brute" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0)
+        |SELECT CAST(row_number() OVER (ORDER BY cosine DESC, id) AS BIGINT) AS "rank", id, cosine
+        |FROM (
+        |  SELECT vec_id AS id,
+        |         list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT v FROM q)) AS cosine
+        |  FROM embeddings WHERE vec_id <> 0
+        |  ORDER BY cosine DESC, id LIMIT 10)""".stripMargin
+  )
 }

@@ -1,0 +1,140 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/** Document deduplication for large-scale training-data pipelines.
+  *
+  * Scale notes (100 TB design):
+  *  - exact dedup is one hash-groupBy (map-side partial agg native);
+  *  - MinHash-LSH: candidate generation never compares all pairs — docs
+  *    explode to (band, bandHash) keys and only same-bucket pairs join
+  *    (a self-equi-join on the band key, shuffle ∝ docs × bands, not
+  *    docs²);
+  *  - SimHash: 64-bit signature per doc + band-exploded bucketing, same
+  *    join shape;
+  *  - verification (exact n-gram Jaccard) runs only on LSH candidates.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash. Input needs (idCol, textCol).
+    * Output: (content_hash, n_docs, keeper) — keeper = min id. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keeper"))
+
+  /** Exact-dedup'd view: one row per distinct content, first id wins. */
+  def dropExactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    docs.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** MinHash signature + banded LSH keys.
+    * Returns (id, band, bandHash) — one row per band per doc. */
+  def minhashBands(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 5, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val sig = docs.select(col(idCol).as("id"),
+      minhashes(col(textCol), shingleK, numHashes).as("sig"))
+    // band b = hash of signature slice [b*rows, (b+1)*rows)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(col("sig"), b * rows + 1, rows).cast("array<string>")).as("bandHash"))
+    }
+    sig.select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bandHash"))
+  }
+
+  /** MinHash-LSH near-duplicate candidate pairs (id1 < id2), deduped
+    * across bands, with the estimated Jaccard from full signatures. */
+  def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 5, numHashes: Int = 32, bands: Int = 8,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    val b = minhashBands(docs, idCol, textCol, shingleK, numHashes, bands)
+    val pairs = b.as("l").join(b.as("r"),
+        col("l.band") === col("r.band") && col("l.bandHash") === col("r.bandHash") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"))
+      .distinct()
+    val sig = docs.select(col(idCol).as("id"),
+      minhashes(col(textCol), shingleK, numHashes).as("sig"))
+    pairs
+      .join(sig.select(col("id").as("id1"), col("sig").as("sig1")), Seq("id1"))
+      .join(sig.select(col("id").as("id2"), col("sig").as("sig2")), Seq("id2"))
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig1"), col("sig2"), (a, b) => when(a === b, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / numHashes)
+      .where(col("est_jaccard") >= minEstJaccard)
+      .select("id1", "id2", "est_jaccard")
+  }
+
+  /** SimHash near-dup buckets: docs sharing any 16-bit band of their
+    * 64-bit simhash. Returns candidate pairs with hamming distance. */
+  def simhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 8): DataFrame = {
+    val sig = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
+    val banded = sig.select(col("id"), col("sh"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
+      .select(col("id"), col("sh"), col("bk.band"), col("bk.key"))
+    banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"),
+        bit_count(col("l.sh").bitwiseXOR(col("r.sh"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Exact token-set n-gram Jaccard for a (small) candidate-pair set:
+    * the verification stage after LSH. `pairs` has (id1, id2). */
+  def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    val grams = docs.select(col(idCol).as("id"),
+      array_distinct(ngrams(col(textCol), n)).as("grams"))
+    pairs
+      .join(grams.select(col("id").as("id1"), col("grams").as("g1")), Seq("id1"))
+      .join(grams.select(col("id").as("id2"), col("grams").as("g2")), Seq("id2"))
+      .withColumn("inter", size(array_intersect(col("g1"), col("g2"))).cast("double"))
+      .withColumn("uni", size(array_union(col("g1"), col("g2"))).cast("double"))
+      .select(col("id1"), col("id2"),
+        when(col("uni") === 0, 0.0).otherwise(col("inter") / col("uni")).as("jaccard"))
+  }
+
+  /** Token n-grams of a text column as an array of strings. */
+  def ngrams(text: Column, n: Int): Column = {
+    val tokens = split(text, " ")
+    // windows i..i+n-1 over the token array via transform on indices
+    filter(
+      transform(sequence(lit(0), greatest(size(tokens) - n, lit(0))),
+        i => array_join(slice(tokens, i + 1, lit(n)), " ")),
+      g => length(g) > 0)
+  }
+
+  /** Embedding-cosine near-duplicate pairs over an LSH bucketing by
+    * random-hyperplane signs (cheap, deterministic). */
+  def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      planes: Int = 12, minCosine: Double = 0.95): DataFrame = {
+    val v = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    // deterministic pseudo-hyperplanes: sign of sum_i v[i]*w_p[i],
+    // w_p[i] = hash-derived in {-1,1}
+    def sgn(p: Int): Column = {
+      val prods = aggregate(
+        zip_with(col("v"), sequence(lit(0), size(col("v")) - 1),
+          (x, i) => x * (pmod(xxhash64(concat_ws("_", lit(p), i)), lit(2)) * 2 - 1)),
+        lit(0.0), (acc, x) => acc + x)
+      when(prods >= 0, lit(1)).otherwise(lit(0))
+    }
+    val sigExpr = (0 until planes).map(p => sgn(p) * (1 << p)).reduce(_ + _)
+    val sig = v.withColumn("bucket", sigExpr)
+    sig.as("l").join(sig.as("r"),
+        col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"),
+        Similarity.cosine(col("l.v"), col("r.v")).as("cosine"))
+      .where(col("cosine") >= minCosine)
+  }
+}

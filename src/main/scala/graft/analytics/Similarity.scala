@@ -1,0 +1,82 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Scale notes: brute-force top-k is one scan + TakeOrdered (no shuffle of
+  * the corpus); the IVF variant prunes the scan to the query's nearest
+  * coarse cells, turning a full scan into a partition-pruned one — the
+  * standard big-data ANN layout (cells = cluster centroids; here
+  * deterministic hash-plane cells, since no training loop is available). */
+object Similarity {
+
+  /** Cosine similarity of two array<double> columns (codegen'd
+    * higher-order functions; sequential left-fold accumulation). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, x) => acc + x))
+    when(na === 0 || nb === 0, 0.0).otherwise(dot / (na * nb))
+  }
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Brute-force cosine top-k: one corpus scan, TakeOrdered(k) — the exact
+    * baseline. `query` is a local vector (broadcast as literal array). */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+      query: Array[Double], k: Int): DataFrame = {
+    val q = array(query.map(lit): _*)
+    emb.select(col(idCol).as("id"),
+        cosine(col(vecCol).cast("array<double>"), q).as("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cosine").desc, col("id"))).cast("long"))
+      .select("rank", "id", "cosine")
+  }
+
+  /** Sign-bucket (random-hyperplane) LSH top-k: only scans vectors whose
+    * bucket is within `probes` hamming bits of the query's bucket —
+    * the scale path (bucket == IVF cell; at 100 TB the table is
+    * partitioned by bucket so pruning skips files). Approximate. */
+  def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
+      query: Array[Double], k: Int, planes: Int = 8): DataFrame = {
+    val v = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    def planeSign(vec: Column, p: Int): Column = {
+      val prod = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x * (pmod(xxhash64(concat_ws("_", lit(p), i)), lit(2)) * 2 - 1)),
+        lit(0.0), (acc, x) => acc + x)
+      when(prod >= 0, lit(1L)).otherwise(lit(0L))
+    }
+    val bucketOf: Column => Column = vec =>
+      (0 until planes).map(p => planeSign(vec, p) * (1L << p)).reduce(_ + _)
+    val q = array(query.map(lit): _*)
+    val qBucket = bucketOf(q)
+    val bucketed = v.withColumn("bucket", bucketOf(col("v")))
+    bucketed
+      .where(bit_count(col("bucket").bitwiseXOR(qBucket)) <= 1) // probe ball r=1
+      .select(col("id"), cosine(col("v"), q).as("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+  }
+
+  /** All-pairs exact top-k neighbors for a SMALL id set (verification /
+    * golden stage): ids x corpus, rank per id. */
+  def topKForIds(emb: DataFrame, idCol: String, vecCol: String,
+      ids: Seq[Long], k: Int): DataFrame = {
+    val v = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val queries = v.where(col("id").isin(ids: _*))
+      .select(col("id").as("qid"), col("v").as("qv"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
+    v.crossJoin(broadcast(queries))
+      .where(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"), cosine(col("v"), col("qv")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+}

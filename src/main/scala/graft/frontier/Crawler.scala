@@ -30,6 +30,12 @@ case class CrawlConfig(
       "( SchemeEquals(http) or SchemeEquals(https) ) and URLShorterThan(2048) and DuplicateSegmentsLessThan(3)",
     useBloom: Boolean = true,
     bloomFpp: Double = 0.01,
+    /** fixed bloom capacity so per-round blooms are mergeable (the
+      * "broadcast-refreshed" filter is extended, not rebuilt, each round) */
+    bloomExpected: Long = 4L << 20,
+    /** below this seen-size the bloom prefilter is skipped (anti-join alone
+      * is cheaper than building + broadcasting the filter) */
+    bloomMinSeen: Long = 50000L,
     ipSpace: Long = 1L << 20,
     /** shuffle/write parallelism for the state tables */
     statePartitions: Int = 32)
@@ -157,15 +163,46 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
     scalars.coalesce(1).write.mode(SaveMode.Overwrite).parquet(stateDir(round, "scalars"))
   }
 
-  private def readSeen(uptoRound: Int): DataFrame = {
-    val dirs = (0 to uptoRound).map(appendDir("seen", _)).filter(exists)
-    dirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
-  }
+  /** Append-only tables are laid out as round=N partition dirs: one
+    * partition-discovering scan + pruning filter, not a union of reads
+    * (the Iceberg-append analog). */
+  private def readSeen(uptoRound: Int): DataFrame =
+    spark.read.parquet(s"$workDir/seen")
+      .where(col("round") <= uptoRound).select("urlHash")
 
   private def readDigests(uptoRound: Int): DataFrame = {
-    val dirs = (0 to uptoRound).map(appendDir("digests", _)).filter(exists)
-    if (dirs.isEmpty) Seq.empty[String].toDF("digest")
-    else dirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+    if (!exists(s"$workDir/digests")) Seq.empty[String].toDF("digest")
+    else spark.read.parquet(s"$workDir/digests")
+      .where(col("round") <= uptoRound).select("digest")
+  }
+
+  /** Incrementally-maintained broadcast bloom over the seen set: merged
+    * with each round's (small) new-hash bloom instead of rebuilt from the
+    * full table (north_rule "broadcast-refreshed bloom URL-seen set").
+    * Fixed capacity keeps the filters mergeable. */
+  private var bloomCache: Option[(Int, org.apache.spark.util.sketch.BloomFilter)] = None
+
+  private def seenBloomUpTo(round: Int, seenCount: => Long): Option[org.apache.spark.util.sketch.BloomFilter] = {
+    if (!cfg.useBloom) return None
+    bloomCache match {
+      case Some((r, bf)) if r == round => Some(bf)
+      case Some((r, bf)) if r < round =>
+        val merged = bf
+        for (rr <- r + 1 to round; if exists(appendDir("seen", rr))) {
+          val delta = spark.read.parquet(appendDir("seen", rr))
+            .stat.bloomFilter("urlHash", cfg.bloomExpected, cfg.bloomFpp)
+          merged.mergeInPlace(delta)
+        }
+        bloomCache = Some((round, merged))
+        Some(merged)
+      case _ =>
+        if (seenCount < cfg.bloomMinSeen) None // anti-join alone is cheaper
+        else {
+          val bf = readSeen(round).stat.bloomFilter("urlHash", cfg.bloomExpected, cfg.bloomFpp)
+          bloomCache = Some((round, bf))
+          Some(bf)
+        }
+    }
   }
 
   /** Last round with a complete state snapshot, or -1. */
@@ -315,9 +352,7 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
       .withColumn("urlHash", murmur64(col("url")))
       .select("url", "urlHash", "parentSeq", "linkIdx")
 
-    val bloom =
-      if (cfg.useBloom) Some(Sieve.seenBloom(seen, expected = maxSeq + 1, fpp = cfg.bloomFpp))
-      else None
+    val bloom = seenBloomUpTo(prev, maxSeq + 1)
     // first new seq is exactly maxSeq (dense continuation of enqueue order)
     val sieved = Sieve.assignSeq(
       Sieve.newUrls(parsedLinks, seen, Seq("parentSeq", "linkIdx"), bloom),

@@ -1,0 +1,147 @@
+package graft.analytics
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AnalyticsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy cat"), // near dup of 1
+      (4L, "completely different content about spark engines and queries"),
+      (5L, "el perro y el gato de la casa que ladra"),
+      (6L, "1234 5678 90 numbers only 42 7")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups by content hash") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    assert(g.length == 5) // 1&2 collapse
+    val dup = g.find(_.getLong(1) == 2L).get
+    assert(dup.getLong(2) == 1L) // keeper = min id
+    val kept = Dedup.dropExactDuplicates(docs, "doc_id", "text")
+    assert(kept.count() == 5)
+    assert(kept.where(col("doc_id") === 2).count() == 0)
+  }
+
+  test("minhash LSH finds the near-dup pair and estimates jaccard") {
+    val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+      shingleK = 4, numHashes = 32, bands = 16, minEstJaccard = 0.4).collect()
+    val keys = pairs.map(r => (r.getLong(1), r.getLong(0))).toSet // (id1,id2) order: select id1,id2? check below
+    val asPairs = pairs.map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    assert(asPairs.contains((1L, 2L)), s"exact dup pair missing: $asPairs")
+    assert(asPairs.contains((1L, 3L)) || asPairs.contains((2L, 3L)), s"near dup pair missing: $asPairs")
+    // exact dups estimate 1.0
+    val exactPair = pairs.find(r => r.getAs[Long]("id1") == 1L && r.getAs[Long]("id2") == 2L).get
+    assert(exactPair.getAs[Double]("est_jaccard") == 1.0)
+    assert(keys != null)
+  }
+
+  test("simhash: identical texts have distance 0; near dups are close") {
+    import spark.implicits._
+    // simhash needs enough tokens for one edit to stay within a few bits:
+    val base = (1 to 120).map(i => s"token$i").mkString(" ")
+    val longDocs = Seq(
+      (1L, base),
+      (2L, base),
+      (3L, base.replace("token60", "changed")),
+      (4L, (200 to 320).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashCandidatePairs(longDocs, "doc_id", "text", maxHamming = 12).collect()
+    val m = pairs.map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")) -> r.getAs[Number]("hamming").intValue).toMap
+    assert(m.get((1L, 2L)).contains(0))
+    assert(m.get((1L, 3L)).exists(_ <= 12), s"near-dup too far: $m")
+    assert(!m.contains((1L, 4L)))
+  }
+
+  test("ngram jaccard: exact dup = 1.0, near dup in (0,1), distinct low") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id1", "id2")
+    val j = Dedup.ngramJaccard(pairs, docs, "doc_id", "text", n = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 3L)) > 0.2 && j((1L, 3L)) < 1.0)
+    assert(j((1L, 4L)) < 0.1)
+  }
+
+  test("brute-force cosine top-k is exact and ranked") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(-1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(emb, "vec_id", "embedding", Array(1.0, 0.0, 0.0), 3).collect()
+    assert(top.map(_.getAs[Long]("id")).toSeq == Seq(2L, 1L, 3L) ||
+      top.map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L, 3L)) // cos(1)=1 > cos(2)≈0.994
+    assert(top.head.getAs[Long]("rank") == 1L)
+    val byId = top.map(r => r.getAs[Long]("id") -> r.getAs[Double]("cosine")).toMap
+    assert(math.abs(byId(1L) - 1.0) < 1e-12)
+    assert(byId(3L) == 0.0)
+  }
+
+  test("lsh top-k returns a subset consistent with brute force ranking") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val emb = (1L to 200L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val q = Array.fill(16)(rnd.nextGaussian())
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", q, 10, planes = 4).collect()
+    assert(lsh.nonEmpty)
+    // every returned cosine must match the brute-force cosine for that id
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 200).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("cosine")).toMap
+    lsh.foreach(r => assert(math.abs(brute(r.getAs[Long]("id")) - r.getAs[Double]("cosine")) < 1e-12))
+  }
+
+  test("text stats: tokens, quality, langid, fingerprints") {
+    val q = TextStats.qualityFeatures(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(q(1L).getAs[Double]("n_tokens") == 9.0)
+    assert(q(1L).getAs[Double]("stopword_ratio") > 0) // two 'the'... one inner ' the '
+    assert(q(6L).getAs[Double]("digit_ratio") > 0.3)
+    assert(q(6L).getAs[Double]("quality") < q(1L).getAs[Double]("quality"))
+
+    val l = TextStats.langId(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(l(1L) == "en")
+    assert(l(5L) == "es")
+    assert(l(6L) == "und")
+
+    val f = TextStats.fingerprints(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(f(1L) == f(2L)) // identical docs -> identical fingerprint
+    assert(f(1L) != f(4L))
+  }
+
+  test("multimodal: media table + batched stub feature extraction") {
+    import spark.implicits._
+    val crawlDocs = Seq(
+      ("d1", Seq(graft.model.Span("media", "", "http://a/img1.jpg", 0),
+        graft.model.Span("text", "hello", "", 1))),
+      ("d2", Seq(graft.model.Span("media", "", "http://a/img2.jpg", 0)))
+    ).toDF("doc_id", "spans")
+    val media = Multimodal.mediaTable(crawlDocs, spark)
+    assert(media.count() == 2)
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 2)
+    feats.foreach { f =>
+      assert(f.n_bytes >= 64 && f.width >= 16 && f.height >= 16)
+      assert(f.feature.length == 8)
+    }
+    // deterministic across runs
+    val again = Multimodal.extractFeatures(Multimodal.mediaTable(crawlDocs, spark)).collect()
+    assert(feats.sortBy(_.media_id).map(_.feature.toSeq).toSeq ==
+      again.sortBy(_.media_id).map(_.feature.toSeq).toSeq)
+  }
+}
