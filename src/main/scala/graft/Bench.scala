@@ -42,11 +42,13 @@ object Bench {
     try {
       val work = Files.createTempDirectory(s"graft-bench-$threads").toString
       val cfg = CrawlConfig(
-        web = SyntheticWeb.Config(sites = 50000 * scale, degree = 20, maxDepth = 3),
-        nSeeds = 256 * scale,
-        hostDelay = 1, ipDelay = 1, burst = 8,
-        maxUrlsPerHost = 2000,
+        web = SyntheticWeb.Config(sites = 500000 * scale, degree = 20, maxDepth = 3),
+        nSeeds = 4096 * scale,
+        hostDelay = 1, ipDelay = 1, burst = 16,
+        maxUrlsPerHost = 5000,
         maxRounds = 5,
+        bloomExpected = 32L << 20,
+        checkpointEvery = 5, // snapshot once: in-memory state between rounds
         statePartitions = threads)
       val crawler = new Crawler(spark, work, cfg)
       val t0 = System.nanoTime()
@@ -96,8 +98,8 @@ object Bench {
     val md =
       f"""# BENCH — frontier throughput (in-sandbox N vs 4N evidence)
          |
-         |Protocol per BASELINE.md: identical synthetic crawl (sites=${50000 * scale},
-         |degree=20, maxDepth=3, seeds=${256 * scale}, burst=8, budget=2000, 5 rounds,
+         |Protocol per BASELINE.md: identical synthetic crawl (sites=${200000 * scale},
+         |degree=20, maxDepth=3, seeds=${1024 * scale}, burst=16, budget=5000, 5 rounds,
          |seed 42) executed at local[8] and local[32] in one JVM sequence.
          |
          || parallelism | URLs scheduled+deduped | wall (s) | throughput (urls/sec) |

@@ -28,6 +28,21 @@ case class CrawlConfig(
     /** schedule filter DSL applied to outlinks (StartupConfiguration.java:182-184) */
     scheduleFilter: String =
       "( SchemeEquals(http) or SchemeEquals(https) ) and URLShorterThan(2048) and DuplicateSegmentsLessThan(3)",
+    /** fetch filter DSL applied to URLs about to be fetched
+      * (FetchingThread.java:300-303); failing URLs are discarded */
+    fetchFilter: String = "true",
+    /** blacklisted hosts, dropped at enqueue time before the sieve
+      * (FrontierEnqueuer / blacklist gates, ParsingThread.java:186-195) */
+    blacklistHosts: Seq[String] = Nil,
+    /** transient-error backoff: next_fetch = now + retryDelay * 2^retries;
+      * past maxRetries the host is purged (ParsingThread.java:75-116,276-312) */
+    retryDelay: Long = 1,
+    maxRetries: Int = 4,
+    /** body truncation (responseBodyMaxByteSize, FetchData.java:313,331-332):
+      * text spans are cut at this many cumulative chars, truncated flag set */
+    maxBodyChars: Int = Int.MaxValue,
+    /** false = hosts start with robotsDone (benchmark mode) */
+    robotsEnabled: Boolean = true,
     useBloom: Boolean = true,
     bloomFpp: Double = 0.01,
     /** fixed bloom capacity so per-round blooms are mergeable (the
@@ -36,11 +51,20 @@ case class CrawlConfig(
     /** below this seen-size the bloom prefilter is skipped (anti-join alone
       * is cheaper than building + broadcasting the filter) */
     bloomMinSeen: Long = 50000L,
+    /** candidate batches at or below this size probe the seen table via a
+      * broadcast hash set (scan, no shuffle); above it, sort-merge anti-join */
+    probeThreshold: Long = 2L << 20,
     ipSpace: Long = 1L << 20,
+    /** state-snapshot cadence in rounds (1 = commit every round, the
+      * Iceberg per-round-commit analog; larger values trade recovery
+      * granularity for fewer write barriers — rounds between snapshots
+      * re-execute deterministically on resume) */
+    checkpointEvery: Int = 1,
     /** shuffle/write parallelism for the state tables */
     statePartitions: Int = 32)
 
-/** One URL selected for fetching this round. */
+/** One URL selected for fetching this round. `attempt` = the host's current
+  * retry count (drives the deterministic transient-failure model). */
 case class FetchUnit(
     url: String,
     schemeAuthority: String,
@@ -50,7 +74,8 @@ case class FetchUnit(
     hostHash: Long,
     ipHash: Long,
     seq: Long,
-    isRobots: Boolean)
+    isRobots: Boolean,
+    attempt: Int)
 
 /** The frontier + fetch scheduler: BUbiNG's Agent/Frontier/Workbench loop
   * re-expressed as an iterative batch DAG over snapshot-checkpointed state
@@ -66,16 +91,18 @@ case class FetchUnit(
   *   state'   = append/update snapshot tables
   * }}}
   *
-  * State layout under `workDir` (the Iceberg-snapshot analog — each round
-  * commits an atomic set of parquet snapshot dirs; `resume()` restarts
-  * from the last complete round, per north_rule "resumable from snapshot
-  * checkpoints"; with Iceberg on the cluster these become table snapshots
-  * and the seen/docs appends become append commits):
+  * State layout under `workDir` (the Iceberg-snapshot analog; with Iceberg
+  * on the cluster the snapshot dirs become table snapshots and the
+  * append dirs become append commits):
   * {{{
-  *   state/round=N/{frontier,hosts,ips,robots,scalars}   (rewritten)
+  *   state/round=N/{frontier,hosts,ips,robots,scalars}   (every checkpointEvery rounds)
   *   seen/round=N, docs/round=N, digests/round=N,
-  *   trace/round=N, metrics/round=N                      (append-only)
+  *   trace/round=N, metrics/round=N                      (append-only, every round)
   * }}}
+  * Between snapshots the state tables are threaded in memory
+  * (`localCheckpoint` truncates lineage without a parquet round-trip);
+  * `run()` resumes from the last complete snapshot and deterministically
+  * re-executes any rounds after it.
   */
 class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
   import spark.implicits._
@@ -88,6 +115,13 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
 
   private def exists(path: String): Boolean =
     fs.exists(new org.apache.hadoop.fs.Path(path))
+
+  /** In-memory state threaded between rounds (lineage truncated via
+    * localCheckpoint); rebuilt from the last parquet snapshot on resume. */
+  private case class LiveState(round: Int, maxSeq: Long, frontier: DataFrame,
+      hosts: DataFrame, ips: DataFrame, robots: DataFrame,
+      seen: DataFrame, digests: DataFrame)
+  private var live: Option[LiveState] = None
 
   // ---------------- initialization (round 0) ----------------
 
@@ -109,15 +143,21 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
       Sieve.newUrls(candidates, emptySeen, Seq("parentSeq", "linkIdx")),
       Seq("parentSeq", "linkIdx"), startSeq = -1L) // seqs from 0
 
-    val frontier = toFrontier(newUrls, round = 0).cache()
+    val frontier = toFrontier(newUrls, round = 0).localCheckpoint(true)
     frontier.select("urlHash").write.mode(SaveMode.Overwrite).parquet(appendDir("seen", 0))
-    writeState(0, frontier,
-      hosts = newHostsFrom(frontier, spark.emptyDataset[HostState].toDF),
-      ips = newIpsFrom(frontier, spark.emptyDataset[IpState].toDF),
-      robots = spark.emptyDataset[RobotsEntry].toDF,
-      scalars = Seq((0L + frontier.count(), 0)).toDF("maxSeq", "round"))
-    frontier.unpersist()
+    val hosts = newHostsFrom(frontier, emptyHosts).localCheckpoint(true)
+    val ips = newIpsFrom(frontier, emptyIps).localCheckpoint(true)
+    val robots = emptyRobots
+    val maxSeq = frontier.count()
+    writeState(0, frontier, hosts, ips, robots, maxSeq)
+    live = Some(LiveState(0, maxSeq, frontier, hosts, ips, robots,
+      frontier.select("urlHash").localCheckpoint(true), emptyDigests))
   }
+
+  private def emptyHosts = spark.emptyDataset[HostState].toDF
+  private def emptyIps = spark.emptyDataset[IpState].toDF
+  private def emptyRobots = spark.emptyDataset[RobotsEntry].toDF
+  private def emptyDigests = Seq.empty[String].toDF("digest")
 
   private def toFrontier(newUrls: DataFrame, round: Int): DataFrame =
     newUrls
@@ -136,9 +176,12 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
       .join(hosts.select("schemeAuthority"), Seq("schemeAuthority"), "left_anti")
       .withColumn("nextFetch", lit(0L))
       .withColumn("stored", lit(0L))
-      .withColumn("robotsDone", lit(false))
+      .withColumn("robotsDone", lit(!cfg.robotsEnabled))
       .withColumn("purged", lit(false))
-      .select("schemeAuthority", "hostHash", "ipHash", "nextFetch", "stored", "robotsDone", "purged")
+      .withColumn("retries", lit(0))
+      .withColumn("lastError", lit(null).cast("string"))
+      .select("schemeAuthority", "hostHash", "ipHash", "nextFetch", "stored",
+        "robotsDone", "purged", "retries", "lastError")
 
   private def newIpsFrom(frontier: DataFrame, ips: DataFrame): DataFrame =
     frontier.select("ipHash").distinct()
@@ -147,7 +190,7 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
       .select("ipHash", "nextFetch")
 
   private def writeState(round: Int, frontier: DataFrame, hosts: DataFrame,
-      ips: DataFrame, robots: DataFrame, scalars: DataFrame): Unit = {
+      ips: DataFrame, robots: DataFrame, maxSeq: Long): Unit = {
     // Frontier and hosts are laid out by hostHash — the reference's
     // agent-assignment function (BubingJob.java:47-52); at cluster scale
     // this becomes Iceberg bucket partitioning so the per-round
@@ -160,7 +203,8 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
       .write.mode(SaveMode.Overwrite).parquet(stateDir(round, "ips"))
     robots.repartition(math.max(1, cfg.statePartitions / 4))
       .write.mode(SaveMode.Overwrite).parquet(stateDir(round, "robots"))
-    scalars.coalesce(1).write.mode(SaveMode.Overwrite).parquet(stateDir(round, "scalars"))
+    Seq((maxSeq, round)).toDF("maxSeq", "round")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(stateDir(round, "scalars"))
   }
 
   /** Append-only tables are laid out as round=N partition dirs: one
@@ -171,9 +215,20 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
       .where(col("round") <= uptoRound).select("urlHash")
 
   private def readDigests(uptoRound: Int): DataFrame = {
-    if (!exists(s"$workDir/digests")) Seq.empty[String].toDF("digest")
+    if (!exists(s"$workDir/digests")) emptyDigests
     else spark.read.parquet(s"$workDir/digests")
       .where(col("round") <= uptoRound).select("digest")
+  }
+
+  private def loadState(round: Int): LiveState = {
+    val maxSeq = spark.read.parquet(stateDir(round, "scalars"))
+      .collect()(0).getAs[Long]("maxSeq")
+    LiveState(round, maxSeq,
+      spark.read.parquet(stateDir(round, "frontier")),
+      spark.read.parquet(stateDir(round, "hosts")),
+      spark.read.parquet(stateDir(round, "ips")),
+      spark.read.parquet(stateDir(round, "robots")),
+      readSeen(round), readDigests(round))
   }
 
   /** Incrementally-maintained broadcast bloom over the seen set: merged
@@ -182,68 +237,78 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
     * Fixed capacity keeps the filters mergeable. */
   private var bloomCache: Option[(Int, org.apache.spark.util.sketch.BloomFilter)] = None
 
-  private def seenBloomUpTo(round: Int, seenCount: => Long): Option[org.apache.spark.util.sketch.BloomFilter] = {
+  private def seenBloom(state: LiveState): Option[org.apache.spark.util.sketch.BloomFilter] = {
     if (!cfg.useBloom) return None
     bloomCache match {
-      case Some((r, bf)) if r == round => Some(bf)
-      case Some((r, bf)) if r < round =>
+      case Some((r, bf)) if r == state.round => Some(bf)
+      case Some((r, bf)) if r < state.round =>
         val merged = bf
-        for (rr <- r + 1 to round; if exists(appendDir("seen", rr))) {
+        for (rr <- r + 1 to state.round; if exists(appendDir("seen", rr))) {
           val delta = spark.read.parquet(appendDir("seen", rr))
             .stat.bloomFilter("urlHash", cfg.bloomExpected, cfg.bloomFpp)
           merged.mergeInPlace(delta)
         }
-        bloomCache = Some((round, merged))
+        bloomCache = Some((state.round, merged))
         Some(merged)
       case _ =>
-        if (seenCount < cfg.bloomMinSeen) None // anti-join alone is cheaper
+        if (state.maxSeq < cfg.bloomMinSeen) None // anti-join alone is cheaper
         else {
-          val bf = readSeen(round).stat.bloomFilter("urlHash", cfg.bloomExpected, cfg.bloomFpp)
-          bloomCache = Some((round, bf))
+          val bf = state.seen.stat.bloomFilter("urlHash", cfg.bloomExpected, cfg.bloomFpp)
+          bloomCache = Some((state.round, bf))
           Some(bf)
         }
     }
   }
 
-  /** Last round with a complete state snapshot, or -1. */
-  def lastCompleteRound(): Int = {
-    var r = -1
-    while (exists(stateDir(r + 1, "scalars") + "/_SUCCESS")) r += 1
-    r
+  /** Max round=N child of a dir (snapshots can be sparse under
+    * checkpointEvery > 1; wait rounds have no appends). */
+  private def maxRoundIn(dir: String, complete: String => Boolean): Int = {
+    if (!exists(dir)) return -1
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("round=") => s.stripPrefix("round=").toInt }
+      .filter(r => complete(f"$dir/round=$r%05d"))
+      .foldLeft(-1)(math.max)
   }
+
+  /** Last round with a complete state snapshot, or -1. */
+  def lastCompleteRound(): Int =
+    maxRoundIn(s"$workDir/state", d => exists(s"$d/scalars/_SUCCESS"))
+
+  /** Last round with trace appends or a snapshot (>= lastCompleteRound). */
+  private def lastAppendRound(): Int =
+    math.max(maxRoundIn(s"$workDir/trace", _ => true), lastCompleteRound())
 
   // ---------------- one round ----------------
 
-  /** Execute round `round` (reading state `round-1`). Returns the number of
-    * URLs fetched (0 means the crawl has drained). */
+  /** Execute round `round` (state `round-1` from memory or snapshot).
+    * Returns the number of URLs fetched. */
   def runRound(round: Int): Long = {
     val prev = round - 1
-    val frontier = spark.read.parquet(stateDir(prev, "frontier"))
-    val hosts = spark.read.parquet(stateDir(prev, "hosts"))
-    val ips = spark.read.parquet(stateDir(prev, "ips"))
-    val robots = spark.read.parquet(stateDir(prev, "robots"))
-    val scalars = spark.read.parquet(stateDir(prev, "scalars")).collect()(0)
-    val maxSeq = scalars.getAs[Long]("maxSeq")
+    val st = live.filter(_.round == prev).getOrElse(loadState(prev))
+    val frontier = st.frontier
+    val hosts = st.hosts
+    val ips = st.ips
+    val robots = st.robots
+    val seen = st.seen
+    val maxSeq = st.maxSeq
     val now = round.toLong
 
-    val seen = readSeen(prev)
-
     // --- politeness selection (SURVEY.md §2.5 window-ranked workbench) ---
-    val eligibleHosts = hosts
-      .where(!col("purged") && col("nextFetch") <= now)
-      // only hosts that actually have pending work
-      .join(frontier.select("schemeAuthority").distinct(), Seq("schemeAuthority"), "left_semi")
-
-    // host priority = earliest pending seq (FIFO per host, VisitState.java:284-304)
+    // host priority = earliest pending seq (FIFO per host,
+    // VisitState.java:284-304); the ONE full frontier aggregation per round
+    // (map-side partial agg shrinks the shuffle to #hosts), which also
+    // serves as the has-pending-work filter via the inner join below.
     val hostPriority = frontier.groupBy("schemeAuthority").agg(min("seq").as("priority"))
 
     // one host per IP per round (WorkbenchEntry: one VisitState per entry in
     // flight; ParsingThread.java:271-274): rank-1 per ipHash window
     val ipReady = ips.where(col("nextFetch") <= now).select("ipHash")
     val wIp = Window.partitionBy("ipHash").orderBy(col("priority"), col("schemeAuthority"))
-    val selectedHosts = eligibleHosts
+    val selectedHosts = hosts
+      .where(!col("purged") && col("nextFetch") <= now)
+      .join(hostPriority, Seq("schemeAuthority")) // inner: only hosts with pending work
       .join(ipReady, Seq("ipHash"), "left_semi")
-      .join(hostPriority, Seq("schemeAuthority"))
       .withColumn("__r", row_number().over(wIp))
       .where(col("__r") === 1)
       .drop("__r", "priority")
@@ -262,77 +327,95 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
         murmur64(concat(col("schemeAuthority"), lit("/robots.txt"))).as("urlHash"),
         col("hostHash"), col("ipHash"),
         lit(-1L).as("seq"),
-        lit(true).as("isRobots"))
+        lit(true).as("isRobots"),
+        col("retries").as("attempt"))
 
-    // pending URLs of selected page-hosts, robots-filtered, top-`burst` by seq
+    // pending URLs of selected page-hosts, robots- and fetch-filtered,
+    // top-`burst` by seq (salted two-phase rank: a heavy host's queue never
+    // lands in a single window partition, P13)
+    val fetchable = FilterDsl.compile(cfg.fetchFilter, FilterDsl.urlContext(col("url")))
     val pendingOfSelected = frontier
-      .join(pageHosts.select("schemeAuthority"), Seq("schemeAuthority"), "left_semi")
+      .join(pageHosts.select("schemeAuthority", "retries"), Seq("schemeAuthority"))
       .join(robots, Seq("schemeAuthority"), "left")
-      .withColumn("__allowed",
-        when(col("prefixes").isNull, lit(true))
-          .otherwise(respects_robots(col("pathQuery"), col("prefixes"))))
-    val disallowed = pendingOfSelected.where(!col("__allowed"))
+      .withColumn("__keep",
+        (when(col("prefixes").isNull, lit(true))
+          .otherwise(respects_robots(col("pathQuery"), col("prefixes")))) && fetchable)
+    val disallowed = pendingOfSelected.where(!col("__keep"))
       .select("urlHash").cache()
-    val wHost = Window.partitionBy("hostHash").orderBy("seq")
-    val pageUnits = pendingOfSelected
-      .where(col("__allowed"))
-      .withColumn("__r", row_number().over(wHost))
-      .where(col("__r") <= cfg.burst)
+    val pageUnits = Ranking
+      .topKPerKey(pendingOfSelected.where(col("__keep")), "hostHash",
+        Seq("seq"), cfg.burst, rankCol = "__r")
       .select(col("url"), col("schemeAuthority"), col("host"), col("pathQuery"),
         col("urlHash"), col("hostHash"), col("ipHash"), col("seq"),
-        lit(false).as("isRobots"))
+        lit(false).as("isRobots"), col("retries").as("attempt"))
 
-    val units = robotsUnits.unionByName(pageUnits).as[FetchUnit]
+    // cached: the politeness-selection pipeline feeds fetch, trace, and
+    // parent-seq joins — without the cache it re-executes per consumer
+    val units = robotsUnits.unionByName(pageUnits).as[FetchUnit].cache()
 
     // --- synthetic fetch + parse (typed Dataset map; pure functions) ---
     val webCfg = cfg.web
+    val maxBody = cfg.maxBodyChars
     val fetched: Dataset[FetchResult] = units.map { u =>
       if (u.isRobots) {
-        FetchResult(u.url, u.urlHash, u.schemeAuthority, u.host, u.ipHash, 200,
-          isRobots = true, spans = Nil, links = Nil, round = round)
+        FetchResult(u.url, u.urlHash, u.schemeAuthority, u.host, u.ipHash, u.seq, 200,
+          isRobots = true, truncated = false, spans = Nil, links = Nil, round = round)
       } else {
-        val st = SyntheticWeb.status(u.url, webCfg)
-        val spans = if (st == 200) SyntheticWeb.pageSpans(u.url, webCfg) else Nil
-        val links = if (st == 200) SyntheticWeb.successors(u.url, webCfg) else Nil
-        FetchResult(u.url, u.urlHash, u.schemeAuthority, u.host, u.ipHash, st,
-          isRobots = false, spans = spans, links = links, round = round)
+        val s = SyntheticWeb.statusAt(u.url, u.attempt, webCfg)
+        val rawSpans = if (s == 200) SyntheticWeb.pageSpans(u.url, webCfg) else Nil
+        // body truncation (FetchData.java:313,331-332): cut text spans at
+        // the cumulative char budget
+        var budget = maxBody
+        var truncated = false
+        val spans = rawSpans.takeWhile { sp =>
+          if (truncated) false
+          else {
+            val cost = sp.text.length
+            if (cost <= budget) { budget -= cost; true }
+            else { truncated = true; false }
+          }
+        }
+        val links = if (s == 200) SyntheticWeb.successors(u.url, webCfg) else Nil
+        FetchResult(u.url, u.urlHash, u.schemeAuthority, u.host, u.ipHash, u.seq, s,
+          isRobots = false, truncated = truncated, spans = spans, links = links,
+          round = round)
       }
     }.cache()
 
     val fetchedCount = fetched.count()
     if (fetchedCount == 0) {
-      // drained: still commit a (copied) state so lastCompleteRound advances
-      writeState(round, frontier, hosts, ips, robots,
-        Seq((maxSeq, round)).toDF("maxSeq", "round"))
-      fetched.unpersist()
+      // politeness wait: carry state forward, snapshot on cadence
+      maybeSnapshot(round, frontier, hosts, ips, robots, maxSeq, force = false)
+      live = Some(st.copy(round = round))
+      fetched.unpersist(); units.unpersist(); disallowed.unpersist()
       return 0
     }
 
     // trace: the crawl ordering artifact (round, seq, url)
-    val unitSeqs = units.select(col("urlHash"), col("seq"), col("isRobots"))
     fetched.toDF
-      .join(unitSeqs.select("urlHash", "seq"), Seq("urlHash") /* robots seq=-1 */, "left")
       .select(lit(round).as("round"), col("seq"), col("url"), col("isRobots"), col("status"))
       .write.mode(SaveMode.Overwrite).parquet(appendDir("trace", round))
 
     // --- store: docs with digest + exact cross-crawl duplicate detection ---
-    val digestsSeen = readDigests(prev)
+    val digestsSeen = st.digests
     val pages = fetched.toDF.where(!col("isRobots") && col("status") === 200)
-    val unitSeqMap = unitSeqs.where(!col("isRobots")).select("urlHash", "seq")
     val docsRaw = pages
-      .join(unitSeqMap, Seq("urlHash"), "left")
       .withColumn("digest", digest_of_spans(col("host"), col("spans"), col("status"), lit(null).cast("string")))
-    val wDigest = Window.partitionBy("digest").orderBy("seq")
+    // within-round duplicate = not the digest's first seq; aggregation-based
+    // (partial agg), so a viral duplicate page is skew-immune
+    val firstDigest = docsRaw.groupBy("digest").agg(min("seq").as("__minSeq"))
     val docs = docsRaw
-      .withColumn("__dupInBatch", row_number().over(wDigest) > 1)
+      .join(firstDigest, Seq("digest"))
+      .withColumn("__dupInBatch", col("seq") > col("__minSeq"))
       .join(digestsSeen.select(col("digest"), lit(true).as("__dupAcross")), Seq("digest"), "left")
       .withColumn("is_duplicate", col("__dupInBatch") || coalesce(col("__dupAcross"), lit(false)))
       .select(col("url").as("doc_id"), col("schemeAuthority"), col("spans"),
-        col("digest"), col("status"), col("is_duplicate"), lit(round).as("round"))
+        col("digest"), col("status"), col("is_duplicate"), col("truncated"),
+        size(col("links")).as("n_links"), lit(round).as("round"))
       .cache()
     docs.write.mode(SaveMode.Overwrite).parquet(appendDir("docs", round))
-    docs.where(!col("is_duplicate")).select("digest").distinct()
-      .write.mode(SaveMode.Overwrite).parquet(appendDir("digests", round))
+    val newDigests = docs.where(!col("is_duplicate")).select("digest").distinct()
+    newDigests.write.mode(SaveMode.Overwrite).parquet(appendDir("digests", round))
 
     // --- robots parse -> broadcast state table update ---
     val newRobots = fetched.where(col("isRobots")).map { r =>
@@ -341,61 +424,86 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
     }.toDF
 
     // --- outlink extraction -> schedule filter -> sieve (SURVEY.md §3.2) ---
-    val parentSeqs = unitSeqMap
     val rawLinks = pages
-      .join(parentSeqs, Seq("urlHash"))
       .select(col("seq").as("parentSeq"), posexplode(col("links")).as(Seq("linkIdx", "spec")))
+    val blacklistGate =
+      if (cfg.blacklistHosts.isEmpty) lit(true)
+      else !burl_host(col("url")).isin(cfg.blacklistHosts: _*)
     val parsedLinks = rawLinks
       .withColumn("url", burl_parse(col("spec")))
       .where(col("url").isNotNull)
       .where(FilterDsl.compile(cfg.scheduleFilter, FilterDsl.urlContext(col("url"))))
+      .where(blacklistGate)
       .withColumn("urlHash", murmur64(col("url")))
       .select("url", "urlHash", "parentSeq", "linkIdx")
+      .cache()
+    val dedupIn = parsedLinks.count()
 
-    val bloom = seenBloomUpTo(prev, maxSeq + 1)
+    val bloom = seenBloom(st)
+    // Small batches probe the seen table with a broadcast hash set (one
+    // sequential scan, no shuffle of seen); big batches fall back to SMJ.
+    val broadcastProbe = dedupIn <= cfg.probeThreshold
     // first new seq is exactly maxSeq (dense continuation of enqueue order)
     val sieved = Sieve.assignSeq(
-      Sieve.newUrls(parsedLinks, seen, Seq("parentSeq", "linkIdx"), bloom),
+      Sieve.newUrls(parsedLinks, seen, Seq("parentSeq", "linkIdx"), bloom, broadcastProbe),
       Seq("parentSeq", "linkIdx"), startSeq = maxSeq - 1L)
 
-    // budget: enforced at sieve exit like Frontier.append (Frontier.java:810-814)
+    // budget: enforced at sieve exit like Frontier.append (Frontier.java:810-814);
+    // unbounded budget skips the ranking entirely
     val newFrontierAll = toFrontier(sieved.select("url", "urlHash", "seq"), round)
-    val wBudget = Window.partitionBy("schemeAuthority").orderBy("seq")
-    val withStored = newFrontierAll
-      .join(hosts.select("schemeAuthority", "stored"), Seq("schemeAuthority"), "left")
-      .na.fill(0L, Seq("stored"))
-    val newFrontier = withStored
-      .withColumn("__r", row_number().over(wBudget))
-      .where(col("stored") + col("__r") <= cfg.maxUrlsPerHost)
-      .drop("__r", "stored")
-      .cache()
+    val newFrontier = (if (cfg.maxUrlsPerHost == Long.MaxValue) newFrontierAll
+      else {
+        val withStored = newFrontierAll
+          .join(hosts.select("schemeAuthority", "stored"), Seq("schemeAuthority"), "left")
+          .na.fill(0L, Seq("stored"))
+        val k = math.min(cfg.maxUrlsPerHost, Int.MaxValue.toLong).toInt
+        Ranking.topKPerKey(withStored, "schemeAuthority", Seq("seq"), k, rankCol = "__r")
+          .where(col("stored") + col("__r") <= cfg.maxUrlsPerHost)
+          .drop("__r", "stored")
+      }).cache()
 
-    val dedupIn = parsedLinks.count()
     val dedupOut = newFrontier.count()
 
     // seen append: ALL sieved urls (even budget-dropped ones are "seen" —
     // the reference sieve recorded them before append()'s budget re-check)
-    sieved.select("urlHash").write.mode(SaveMode.Overwrite).parquet(appendDir("seen", round))
+    val seenDelta = sieved.select("urlHash")
+    seenDelta.write.mode(SaveMode.Overwrite).parquet(appendDir("seen", round))
 
     // --- state updates ---
-    val fetchedUrls = fetched.toDF.where(!col("isRobots")).select("urlHash")
+    // fetched page URLs leave the frontier; transient 5xx failures stay and
+    // are retried after the host's backoff (exception state machine)
+    val fetchedUrls = fetched.toDF
+      .where(!col("isRobots") && col("status") < 500).select("urlHash")
     val frontierNext = frontier
       .join(fetchedUrls, Seq("urlHash"), "left_anti")
       .join(disallowed, Seq("urlHash"), "left_anti")
       .unionByName(newFrontier)
 
-    // hosts: politeness + stored-count + robotsDone updates
+    // hosts: politeness + stored-count + robotsDone + retry/backoff updates
     val hostFetchAgg = fetched.toDF.groupBy("schemeAuthority").agg(
       sum(when(!col("isRobots") && col("status") === 200, 1L).otherwise(0L)).as("__stored"),
-      max(col("isRobots")).as("__robotsFetched"))
+      max(col("isRobots")).as("__robotsFetched"),
+      max(when(col("status") >= 500, 1).otherwise(0)).as("__failed"))
+    val backoff = lit(now) + lit(cfg.retryDelay) * pow(lit(2.0), col("retries")).cast("long")
     val hostsUpdated = hosts
       .join(hostFetchAgg, Seq("schemeAuthority"), "left")
       .withColumn("nextFetch",
-        when(col("__stored").isNotNull, lit(now + cfg.hostDelay)).otherwise(col("nextFetch")))
+        when(col("__stored").isNotNull && col("__failed") === 1, backoff)
+          .when(col("__stored").isNotNull, lit(now + cfg.hostDelay))
+          .otherwise(col("nextFetch")))
+      .withColumn("lastError",
+        when(col("__stored").isNotNull && col("__failed") === 1, lit("http_5xx"))
+          .when(col("__stored").isNotNull, lit(null).cast("string"))
+          .otherwise(col("lastError")))
+      .withColumn("retries",
+        when(col("__stored").isNotNull && col("__failed") === 1, col("retries") + 1)
+          .when(col("__stored").isNotNull, lit(0))
+          .otherwise(col("retries")))
       .withColumn("stored", col("stored") + coalesce(col("__stored"), lit(0L)))
       .withColumn("robotsDone", col("robotsDone") || coalesce(col("__robotsFetched"), lit(false)))
-      .withColumn("purged", col("purged") || col("stored") >= cfg.maxUrlsPerHost)
-      .drop("__stored", "__robotsFetched")
+      .withColumn("purged",
+        col("purged") || col("stored") >= cfg.maxUrlsPerHost || col("retries") > cfg.maxRetries)
+      .drop("__stored", "__robotsFetched", "__failed")
     val hostsNext = hostsUpdated.unionByName(newHostsFrom(newFrontier, hosts))
 
     val ipFetchAgg = fetched.toDF.select("ipHash").distinct()
@@ -408,28 +516,65 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
     val robotsNext = robots.unionByName(newRobots)
 
     // --- per-partition lineage + metrics (north_rule) ---
+    // Per-partition rows carry only per-partition quantities; round-global
+    // quantities (sieve in/out, duplicates) live on ONE partition_id=-1 row,
+    // so any aggregation over the table stays correct.
     val duplicates = docs.where(col("is_duplicate")).count()
-    val robotsFetched = fetched.where(col("isRobots")).count()
-    fetched.toDF
+    val perPartition = fetched.toDF
       .withColumn("partition_id", spark_partition_id())
       .groupBy("partition_id")
       .agg(count(lit(1)).as("fetched"),
         sum(when(col("isRobots"), 1L).otherwise(0L)).as("robots_fetched"),
         sum(when(col("status") === 200 && !col("isRobots"), 1L).otherwise(0L)).as("parsed"),
-        sum(size(col("links"))).as("links_out"))
+        sum(when(col("status") >= 500, 1L).otherwise(0L)).as("failed"),
+        sum(size(col("links"))).cast("long").as("links_out"))
       .withColumn("round", lit(round))
-      .withColumn("dedup_in", lit(dedupIn))
-      .withColumn("dedup_out", lit(dedupOut))
-      .withColumn("duplicates", lit(duplicates))
-      .select("round", "partition_id", "fetched", "robots_fetched", "parsed",
+      .withColumn("dedup_in", lit(0L))
+      .withColumn("dedup_out", lit(0L))
+      .withColumn("duplicates", lit(0L))
+    val globalRow = Seq((round, -1, 0L, 0L, 0L, 0L, 0L, dedupIn, dedupOut, duplicates))
+      .toDF("round", "partition_id", "fetched", "robots_fetched", "parsed", "failed",
         "links_out", "dedup_in", "dedup_out", "duplicates")
+    perPartition
+      .select("round", "partition_id", "fetched", "robots_fetched", "parsed", "failed",
+        "links_out", "dedup_in", "dedup_out", "duplicates")
+      .unionByName(globalRow)
       .write.mode(SaveMode.Overwrite).parquet(appendDir("metrics", round))
 
-    writeState(round, frontierNext, hostsNext, ipsNext, robotsNext,
-      Seq((maxSeq + dedupOut, round)).toDF("maxSeq", "round"))
+    // --- commit: snapshot on cadence, thread state in memory otherwise ---
+    val snapped = maybeSnapshot(round, frontierNext, hostsNext, ipsNext, robotsNext,
+      maxSeq + dedupOut, force = false)
+    val (fNext, hNext, iNext, rNext) =
+      if (snapped)
+        (spark.read.parquet(stateDir(round, "frontier")),
+          spark.read.parquet(stateDir(round, "hosts")),
+          spark.read.parquet(stateDir(round, "ips")),
+          spark.read.parquet(stateDir(round, "robots")))
+      else
+        (frontierNext.localCheckpoint(true), hostsNext.localCheckpoint(true),
+          ipsNext.localCheckpoint(true), robotsNext.localCheckpoint(true))
+    val seenNext = seen.unionByName(seenDelta.localCheckpoint(true))
+    val digestsNext = st.digests.unionByName(newDigests.localCheckpoint(true))
+    live = Some(LiveState(round, maxSeq + dedupOut, fNext, hNext, iNext, rNext,
+      seenNext, digestsNext))
 
-    fetched.unpersist(); docs.unpersist(); newFrontier.unpersist(); disallowed.unpersist()
+    fetched.unpersist(); units.unpersist(); docs.unpersist(); newFrontier.unpersist()
+    disallowed.unpersist(); parsedLinks.unpersist()
     fetchedCount
+  }
+
+  /** Snapshot the state tables when the cadence (or `force`) says so. */
+  private def maybeSnapshot(round: Int, frontier: DataFrame, hosts: DataFrame,
+      ips: DataFrame, robots: DataFrame, maxSeq: Long, force: Boolean): Boolean = {
+    val due = force || cfg.checkpointEvery <= 1 || round % cfg.checkpointEvery == 0
+    if (due) writeState(round, frontier, hosts, ips, robots, maxSeq)
+    due
+  }
+
+  /** Force a snapshot of the current live state (used at end of run). */
+  private def snapshotLive(): Unit = live.foreach { st =>
+    if (!exists(stateDir(st.round, "scalars") + "/_SUCCESS"))
+      writeState(st.round, st.frontier, st.hosts, st.ips, st.robots, st.maxSeq)
   }
 
   /** Run (or resume) the crawl up to cfg.maxRounds; returns rounds executed.
@@ -445,14 +590,15 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
       val n = runRound(round)
       executed += 1
       if (n == 0)
-        drained = spark.read.parquet(stateDir(round, "frontier")).isEmpty
+        drained = live.forall(_.frontier.isEmpty)
     }
+    snapshotLive()
     executed
   }
 
   /** The crawl-order trace: (round, seq, url, isRobots, status), ordered. */
   def trace(): DataFrame = {
-    val dirs = (0 to lastCompleteRound()).map(appendDir("trace", _)).filter(exists)
+    val dirs = (0 to lastAppendRound()).map(appendDir("trace", _)).filter(exists)
     if (dirs.isEmpty) Seq.empty[(Int, Long, String, Boolean, Int)]
       .toDF("round", "seq", "url", "isRobots", "status")
     else dirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
@@ -461,16 +607,16 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
 
   /** All stored docs so far. */
   def docs(): DataFrame = {
-    val dirs = (0 to lastCompleteRound()).map(appendDir("docs", _)).filter(exists)
+    val dirs = (0 to lastAppendRound()).map(appendDir("docs", _)).filter(exists)
     dirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
   }
 
   /** Final URL-seen membership (hashes). */
-  def seenHashes(): DataFrame = readSeen(lastCompleteRound())
+  def seenHashes(): DataFrame = readSeen(lastAppendRound())
 
   /** All per-round metrics. */
   def metrics(): DataFrame = {
-    val dirs = (1 to lastCompleteRound()).map(appendDir("metrics", _)).filter(exists)
+    val dirs = (1 to lastAppendRound()).map(appendDir("metrics", _)).filter(exists)
     if (dirs.isEmpty) spark.emptyDataset[RoundMetrics].toDF
     else dirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
   }

@@ -42,16 +42,14 @@ object Sieve {
       candidates: DataFrame,
       seen: DataFrame,
       orderCols: Seq[String],
-      bloom: Option[BloomFilter] = None): DataFrame = {
+      bloom: Option[BloomFilter] = None,
+      broadcastProbe: Boolean = false): DataFrame = {
     val spark = candidates.sparkSession
-    val order = orderCols.map(col)
 
-    // First-wins within the batch (MercatorSieve.java:311-318).
-    val wInBatch = Window.partitionBy(col("urlHash")).orderBy(order: _*)
-    val deduped = candidates
-      .withColumn("__rn", row_number().over(wInBatch))
-      .where(col("__rn") === 1)
-      .drop("__rn")
+    // First-wins within the batch (MercatorSieve.java:311-318), via partial
+    // aggregation rather than a window: map-side combine makes a heavily
+    // duplicated URL (skewed key) cost one row per partition, not a sort.
+    val deduped = Ranking.firstPerKey(candidates, "urlHash", orderCols)
 
     bloom match {
       case None =>
@@ -60,12 +58,25 @@ object Sieve {
         val bcast = spark.sparkContext.broadcast(bf)
         val mightContain = udf((h: Long) => bcast.value.mightContainLong(h))
         // Definitely-new rows skip the join entirely; only bloom-positive
-        // rows (true hits + false positives) pay the exact anti-join.
+        // rows (true hits + false positives) pay the exact membership check.
         val flagged = deduped.withColumn("__maybe", mightContain(col("urlHash")))
         val sure = flagged.where(!col("__maybe")).drop("__maybe")
         val maybe = flagged.where(col("__maybe")).drop("__maybe")
-          .join(seen, Seq("urlHash"), "left_anti")
-        sure.unionByName(maybe)
+        val maybeNew =
+          if (broadcastProbe) {
+            // Small batch: probe the seen table with a broadcast hash set —
+            // ONE sequential scan of `seen`, no shuffle/sort of it (the
+            // Spark analog of Mercator's sequential store merge,
+            // MercatorSieve.java:311-344). `present` <= batch size, so the
+            // second join broadcasts too.
+            val present = seen
+              .join(broadcast(maybe.select("urlHash")), Seq("urlHash"), "left_semi")
+            maybe.join(broadcast(present), Seq("urlHash"), "left_anti")
+          } else {
+            // Large batch: sort-merge anti-join (shuffles both sides).
+            maybe.join(seen, Seq("urlHash"), "left_anti")
+          }
+        sure.unionByName(maybeNew)
     }
   }
 

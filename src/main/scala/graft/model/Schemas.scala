@@ -40,7 +40,12 @@ case class HostState(
     nextFetch: Long,
     stored: Long,
     robotsDone: Boolean,
-    purged: Boolean)
+    purged: Boolean,
+    /** consecutive failed rounds; backoff doubles per retry and the host is
+      * purged past maxRetries (reference exception state machine,
+      * ParsingThread.java:276-312) */
+    retries: Int,
+    lastError: String)
 
 /** Per-IP politeness state (reference `WorkbenchEntry.java:52-80`). */
 case class IpState(ipHash: Long, nextFetch: Long)
@@ -57,8 +62,10 @@ case class FetchResult(
     schemeAuthority: String,
     host: String,
     ipHash: Long,
+    seq: Long,
     status: Int,
     isRobots: Boolean,
+    truncated: Boolean,
     spans: Seq[Span],
     links: Seq[String],
     round: Int)
@@ -71,6 +78,8 @@ case class StoredDoc(
     digest: String,
     status: Int,
     is_duplicate: Boolean,
+    truncated: Boolean,
+    n_links: Int,
     round: Int)
 
 /** Per-round, per-partition lineage + fetch/parse metrics (north_rule). */
@@ -80,6 +89,7 @@ case class RoundMetrics(
     fetched: Long,
     robots_fetched: Long,
     parsed: Long,
+    failed: Long,
     links_out: Long,
     dedup_in: Long,
     dedup_out: Long,

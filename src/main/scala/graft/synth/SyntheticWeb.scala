@@ -31,7 +31,10 @@ object SyntheticWeb {
       /** every k-th span of a page is a media span (input_hint interleaving) */
       mediaEvery: Int = 3,
       /** 1/robotsFraction of hosts get a non-empty robots disallow list */
-      robotsFraction: Int = 8)
+      robotsFraction: Int = 8,
+      /** ~1/failEvery pages fail transiently (503) twice before succeeding;
+        * 0 disables failures */
+      failEvery: Int = 0)
 
   /** Minimal deterministic SplitMix64 stream. */
   final class Rng(seed: Long) {
@@ -109,6 +112,22 @@ object SyntheticWeb {
     val (maxDepth, _) = hostParams(host, cfg)
     if (depthOf(page) > maxDepth) 404 else 200
   }
+
+  /** Deterministic transient failures: ~1/failEvery pages return 503 on
+    * their first `failCount` attempts, then behave normally — exercising
+    * the retry/backoff state machine (reference exception tables,
+    * `ParsingThread.java:75-116`). Pure in (url, attempt, cfg). */
+  def transientFailures(url: String, cfg: Config): Int = {
+    if (cfg.failEvery <= 0) return 0
+    val page = canonicalPage(url)
+    val h = MurmurHash3Bubing.hashString(page, cfg.seed ^ 0xFA11L)
+    if (java.lang.Math.floorMod(h, cfg.failEvery.toLong) == 0L) 2 else 0
+  }
+
+  /** Status of the `attempt`-th fetch of a page (attempt = the host's
+    * current retry count): 503 while transient failures remain. */
+  def statusAt(url: String, attempt: Int, cfg: Config): Int =
+    if (attempt < transientFailures(url, cfg)) 503 else status(url, cfg)
 
   /** Outlinks of a page, in document order (empty for robots.txt, pages at
     * max depth, and 404s). Pure and deterministic in (url, cfg). */

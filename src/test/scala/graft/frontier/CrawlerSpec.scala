@@ -107,6 +107,70 @@ class CrawlerSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
+  test("retry/backoff state machine: spark == oracle with transient failures") {
+    val failCfg = cfg.copy(
+      web = cfg.web.copy(failEvery = 4), // 1/4 of pages fail twice
+      maxRetries = 3, retryDelay = 1, maxRounds = 9)
+    val dir = tempDir("retries")
+    val crawler = new Crawler(spark, dir, failCfg)
+    crawler.run()
+    val sparkTrace = collectTrace(crawler)
+    assert(sparkTrace.exists(_._5 == 503), "expected some 503 rows in trace")
+    val (oracleTrace0, oracleSeen) = OracleCrawler.run(failCfg)
+    val oracleTrace = oracleTrace0
+      .map(t => (t.round, t.seq, t.url, t.isRobots, t.status))
+      .sortBy(t => (t._1, t._2, t._3))
+    assert(sparkTrace.size == oracleTrace.size,
+      s"trace sizes differ: spark=${sparkTrace.size} oracle=${oracleTrace.size}")
+    sparkTrace.zip(oracleTrace).zipWithIndex.foreach { case ((s, o), i) =>
+      assert(s == o, s"trace row $i differs: spark=$s oracle=$o")
+    }
+    assert(crawler.seenHashes().collect().map(_.getLong(0)).toSet == oracleSeen)
+  }
+
+  test("checkpointEvery > 1 (in-memory state threading) crawls identically") {
+    val d1 = tempDir("ck1")
+    val d3 = tempDir("ck3")
+    val c1 = new Crawler(spark, d1, cfg.copy(maxRounds = 5, checkpointEvery = 1))
+    val c3 = new Crawler(spark, d3, cfg.copy(maxRounds = 5, checkpointEvery = 3))
+    c1.run(); c3.run()
+    assert(collectTrace(c1) == collectTrace(c3))
+    assert(c3.lastCompleteRound() == 5) // forced final snapshot
+  }
+
+  test("blacklisted hosts are never enqueued or fetched") {
+    val probe = tempDir("bl-probe")
+    val cp = new Crawler(spark, probe, cfg.copy(maxRounds = 5))
+    cp.run()
+    // pick a host the unrestricted crawl discovered via links (non-seed);
+    // robots fetches count as visits too
+    val seedHosts = (0 until cfg.nSeeds)
+      .map(i => graft.core.Burl.host(graft.synth.SyntheticWeb.seedUrl(i, cfg.web))).toSet
+    val visited = collectTrace(cp).map(t => graft.core.Burl.host(t._3)).distinct
+    val nonSeed = visited.filterNot(seedHosts)
+    assert(nonSeed.nonEmpty, s"no non-seed hosts discovered: $visited")
+    val victim = nonSeed.head
+    val dir = tempDir("bl")
+    val c = new Crawler(spark, dir, cfg.copy(maxRounds = 5,
+      blacklistHosts = Seq(victim)))
+    c.run()
+    val hosts = collectTrace(c).map(t => graft.core.Burl.host(t._3)).distinct
+    assert(!hosts.contains(victim), s"blacklisted $victim was visited")
+  }
+
+  test("body truncation flags docs and caps span text") {
+    val dir = tempDir("trunc")
+    val c = new Crawler(spark, dir, cfg.copy(maxRounds = 4, maxBodyChars = 40))
+    c.run()
+    import org.apache.spark.sql.functions._
+    val docs = c.docs()
+    assert(docs.where(col("truncated")).count() > 0, "expected truncated docs")
+    val maxChars = docs.select(max(aggregate(
+      transform(col("spans"), s => length(s.getField("text"))),
+      lit(0), (a, x) => a + x))).collect()(0).getInt(0)
+    assert(maxChars <= 40)
+  }
+
   test("docs carry digests; duplicates are flagged deterministically") {
     val dir = tempDir("docs")
     val crawler = new Crawler(spark, dir, cfg.copy(maxRounds = 5))

@@ -19,6 +19,7 @@ object OracleCrawler {
     var stored = 0L
     var robotsDone = false
     var purged = false
+    var retries = 0
     var robotsPrefixes: Array[String] = Array.empty
     /** pending urls by seq (FIFO per host) */
     val pending = mutable.TreeMap[Long, String]()
@@ -118,28 +119,40 @@ object OracleCrawler {
           disallowedSeqs.foreach(h.pending.remove)
           val burst = h.pending.take(cfg.burst).toSeq
           if (burst.nonEmpty) {
+            var anyFailed = false
             for ((seq, url) <- burst) {
-              h.pending.remove(seq)
-              val st = SyntheticWeb.status(url, web)
+              // attempt = host retries at round start (matches the Spark
+              // side, where FetchUnit.attempt joins the prev-round hosts)
+              val st = SyntheticWeb.statusAt(url, h.retries, web)
               trace += TraceRow(round, seq, url, isRobots = false, st)
+              if (st >= 500) anyFailed = true // transient: URL stays pending
+              else h.pending.remove(seq)
               if (st == 200) {
                 h.stored += 1
                 val links = SyntheticWeb.successors(url, web)
                 links.zipWithIndex.foreach { case (l, i) => newLinks += ((seq, i.toLong, l)) }
               }
             }
-            h.nextFetch = now + cfg.hostDelay
+            if (anyFailed) {
+              h.nextFetch = now + cfg.retryDelay * (1L << h.retries)
+              h.retries += 1
+            } else {
+              h.nextFetch = now + cfg.hostDelay
+              h.retries = 0
+            }
             ipNextFetch(h.ipHash) = now + cfg.ipDelay
             fetchedAny = true
           }
         }
-        if (h.stored >= cfg.maxUrlsPerHost) h.purged = true
+        if (h.stored >= cfg.maxUrlsPerHost || h.retries > cfg.maxRetries) h.purged = true
       }
 
+      val blacklist = cfg.blacklistHosts.toSet
       val parsedLinks = newLinks.toSeq
         .map { case (ps, li, spec) => (ps, li, Burl.parse(spec)) }
         .filter(_._3 != null)
         .filter(c => passesScheduleFilter(c._3))
+        .filter(c => blacklist.isEmpty || !blacklist.contains(Burl.host(c._3)))
       enqueue(parsedLinks, storedSnapshot)
 
       if (!fetchedAny && hosts.values.forall(h => h.pending.isEmpty || h.purged))
