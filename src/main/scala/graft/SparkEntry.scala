@@ -235,16 +235,39 @@ object SparkEntry {
     Multimodal.extractFeatures(Multimodal.mediaTable(docs, s)).toDF
   }
 
+  /** One mini-crawl shared by the crawl-output queries (memoized per
+    * session so Verify runs the engine once, not four times). */
+  private val crawlMemo = new java.util.concurrent.ConcurrentHashMap[String, frontier.Crawler]()
+  private def miniCrawl(s: SparkSession): frontier.Crawler =
+    crawlMemo.computeIfAbsent(s.sparkContext.applicationId, _ => {
+      val work = java.nio.file.Files.createTempDirectory("graft-q-crawl").toString
+      val cfg = frontier.CrawlConfig(
+        web = synth.SyntheticWeb.Config(sites = 60, degree = 4, maxDepth = 2),
+        nSeeds = 6, maxRounds = 4, burst = 2, statePartitions = 4)
+      val c = new frontier.Crawler(s, work, cfg)
+      c.run()
+      c
+    })
+
   /** End-to-end mini-crawl (frontier+scheduler) — rows-only smoke. */
-  private def qCrawlE2e(s: SparkSession, dir: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft-q-crawl").toString
-    val cfg = frontier.CrawlConfig(
-      web = synth.SyntheticWeb.Config(sites = 60, degree = 4, maxDepth = 2),
-      nSeeds = 6, maxRounds = 4, burst = 2, statePartitions = 4)
-    val c = new frontier.Crawler(s, work, cfg)
-    c.run()
-    c.trace()
-  }
+  private def qCrawlE2e(s: SparkSession, dir: String): DataFrame =
+    miniCrawl(s).trace()
+
+  /** duplicate -> archetype resolution over the crawl store. */
+  private def qStoreArchetypes(s: SparkSession, dir: String): DataFrame =
+    analytics.StoreQuery.archetypes(miniCrawl(s).docs())
+
+  /** per-round fetch/parse/dedup progress from the lineage metrics. */
+  private def qCrawlProgress(s: SparkSession, dir: String): DataFrame =
+    analytics.CrawlStats.progress(miniCrawl(s).metrics())
+
+  /** log2 histogram of per-host pending-queue sizes. */
+  private def qQueueHistogram(s: SparkSession, dir: String): DataFrame =
+    analytics.CrawlStats.queueSizeHistogram(miniCrawl(s).frontierState())
+
+  /** host-level media-ref edge graph from the stored spans. */
+  private def qMediaEdges(s: SparkSession, dir: String): DataFrame =
+    analytics.StoreQuery.mediaEdges(miniCrawl(s).docs())
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sieve_first_seen" -> (qSieveFirstSeen(_, _)),
@@ -271,7 +294,11 @@ object SparkEntry {
     "q_ann_lsh" -> (qAnnLsh(_, _)),
     "q_embedding_neardup" -> (qEmbeddingNearDup(_, _)),
     "q_media_features" -> (qMediaFeatures(_, _)),
-    "q_crawl_e2e" -> (qCrawlE2e(_, _))
+    "q_crawl_e2e" -> (qCrawlE2e(_, _)),
+    "q_store_archetypes" -> (qStoreArchetypes(_, _)),
+    "q_crawl_progress" -> (qCrawlProgress(_, _)),
+    "q_queue_histogram" -> (qQueueHistogram(_, _)),
+    "q_media_edges" -> (qMediaEdges(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(

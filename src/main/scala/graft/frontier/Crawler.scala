@@ -43,6 +43,10 @@ case class CrawlConfig(
     maxBodyChars: Int = Int.MaxValue,
     /** false = hosts start with robotsDone (benchmark mode) */
     robotsEnabled: Boolean = true,
+    /** false = skip the docs/digests store writes (frontier-only benchmark:
+      * the north metric is URLs scheduled+deduped/sec; the store is the
+      * WARC-sink side) */
+    storeDocs: Boolean = true,
     useBloom: Boolean = true,
     bloomFpp: Double = 0.01,
     /** fixed bloom capacity so per-round blooms are mergeable (the
@@ -61,7 +65,18 @@ case class CrawlConfig(
       * re-execute deterministically on resume) */
     checkpointEvery: Int = 1,
     /** shuffle/write parallelism for the state tables */
-    statePartitions: Int = 32)
+    statePartitions: Int = 32,
+    /** compact the frontier (drop tombstoned rows) once this many
+      * tombstones accumulate — the BUbiNG virtualizer-GC / Iceberg
+      * merge-on-read analog (WorkbenchVirtualizer.java:132-143) */
+    tombstoneCompactRows: Long = 2L << 20,
+    /** print per-round wall times (bench diagnostics) */
+    logRounds: Boolean = false,
+    /** storage level for in-memory state blocks between snapshots;
+      * DISK_ONLY + spark.local.dir on tmpfs keeps the (large) frontier/seen
+      * blocks out of the JVM heap — GC pressure, not CPU, is the local-mode
+      * scaling limiter otherwise */
+    stateStorage: String = "MEMORY_AND_DISK")
 
 /** One URL selected for fetching this round. `attempt` = the host's current
   * retry count (drives the deterministic transient-failure model). */
@@ -107,6 +122,11 @@ case class FetchUnit(
 class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
   import spark.implicits._
 
+  private val stateLevel = org.apache.spark.storage.StorageLevel.fromString(cfg.stateStorage)
+  /** localCheckpoint at the configured storage level: materialize + truncate
+    * lineage for state threaded between rounds. */
+  private def lc(df: DataFrame): DataFrame = df.localCheckpoint(true, stateLevel)
+
   private val fs = org.apache.hadoop.fs.FileSystem.get(
     new java.net.URI(workDir), spark.sparkContext.hadoopConfiguration)
 
@@ -120,7 +140,11 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
     * localCheckpoint); rebuilt from the last parquet snapshot on resume. */
   private case class LiveState(round: Int, maxSeq: Long, frontier: DataFrame,
       hosts: DataFrame, ips: DataFrame, robots: DataFrame,
-      seen: DataFrame, digests: DataFrame)
+      seen: DataFrame, digests: DataFrame,
+      /** append-only frontier: fetched/dropped rows are tombstoned by hash
+        * and physically removed only at compaction/snapshot (the
+        * virtualizer-log + GC-by-compaction-ratio analog, SURVEY.md §4 P5) */
+      tombstones: DataFrame, pendingRows: Long, tombRows: Long)
   private var live: Option[LiveState] = None
 
   // ---------------- initialization (round 0) ----------------
@@ -143,21 +167,23 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
       Sieve.newUrls(candidates, emptySeen, Seq("parentSeq", "linkIdx")),
       Seq("parentSeq", "linkIdx"), startSeq = -1L) // seqs from 0
 
-    val frontier = toFrontier(newUrls, round = 0).localCheckpoint(true)
+    val frontier = toFrontier(newUrls, round = 0).transform(lc)
     frontier.select("urlHash").write.mode(SaveMode.Overwrite).parquet(appendDir("seen", 0))
-    val hosts = newHostsFrom(frontier, emptyHosts).localCheckpoint(true)
-    val ips = newIpsFrom(frontier, emptyIps).localCheckpoint(true)
+    val hosts = newHostsFrom(frontier, emptyHosts).transform(lc)
+    val ips = newIpsFrom(frontier, emptyIps).transform(lc)
     val robots = emptyRobots
     val maxSeq = frontier.count()
     writeState(0, frontier, hosts, ips, robots, maxSeq)
     live = Some(LiveState(0, maxSeq, frontier, hosts, ips, robots,
-      frontier.select("urlHash").localCheckpoint(true), emptyDigests))
+      frontier.select("urlHash").transform(lc), emptyDigests,
+      emptyTombstones, pendingRows = maxSeq, tombRows = 0L))
   }
 
   private def emptyHosts = spark.emptyDataset[HostState].toDF
   private def emptyIps = spark.emptyDataset[IpState].toDF
   private def emptyRobots = spark.emptyDataset[RobotsEntry].toDF
   private def emptyDigests = Seq.empty[String].toDF("digest")
+  private def emptyTombstones = Seq.empty[Long].toDF("urlHash")
 
   private def toFrontier(newUrls: DataFrame, round: Int): DataFrame =
     newUrls
@@ -223,12 +249,13 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
   private def loadState(round: Int): LiveState = {
     val maxSeq = spark.read.parquet(stateDir(round, "scalars"))
       .collect()(0).getAs[Long]("maxSeq")
-    LiveState(round, maxSeq,
-      spark.read.parquet(stateDir(round, "frontier")),
+    val frontier = spark.read.parquet(stateDir(round, "frontier"))
+    LiveState(round, maxSeq, frontier,
       spark.read.parquet(stateDir(round, "hosts")),
       spark.read.parquet(stateDir(round, "ips")),
       spark.read.parquet(stateDir(round, "robots")),
-      readSeen(round), readDigests(round))
+      readSeen(round), readDigests(round),
+      emptyTombstones, pendingRows = frontier.count(), tombRows = 0L)
   }
 
   /** Incrementally-maintained broadcast bloom over the seen set: merged
@@ -242,14 +269,18 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
     bloomCache match {
       case Some((r, bf)) if r == state.round => Some(bf)
       case Some((r, bf)) if r < state.round =>
-        val merged = bf
+        // extend with the per-round hash deltas directly on the driver: a
+        // delta is |new urls| longs (MBs), vs a full-capacity distributed
+        // bloom build whose bitset merges would dwarf the data. (At cluster
+        // scale with 10^8-row deltas this flips back to a distributed
+        // delta-bloom + mergeInPlace.)
         for (rr <- r + 1 to state.round; if exists(appendDir("seen", rr))) {
-          val delta = spark.read.parquet(appendDir("seen", rr))
-            .stat.bloomFilter("urlHash", cfg.bloomExpected, cfg.bloomFpp)
-          merged.mergeInPlace(delta)
+          import spark.implicits._
+          spark.read.parquet(appendDir("seen", rr))
+            .select("urlHash").as[Long].collect().foreach(bf.putLong)
         }
-        bloomCache = Some((state.round, merged))
-        Some(merged)
+        bloomCache = Some((state.round, bf))
+        Some(bf)
       case _ =>
         if (state.maxSeq < cfg.bloomMinSeen) None // anti-join alone is cheaper
         else {
@@ -286,7 +317,12 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
   def runRound(round: Int): Long = {
     val prev = round - 1
     val st = live.filter(_.round == prev).getOrElse(loadState(prev))
-    val frontier = st.frontier
+    // pending view: append-only frontier minus tombstoned (fetched/dropped)
+    // rows; the broadcast anti-join is a scan-side filter, no frontier
+    // shuffle (compaction keeps the tombstone set small)
+    val frontier =
+      if (st.tombRows == 0) st.frontier
+      else st.frontier.join(broadcast(st.tombstones), Seq("urlHash"), "left_anti")
     val hosts = st.hosts
     val ips = st.ips
     val robots = st.robots
@@ -385,8 +421,13 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
     val fetchedCount = fetched.count()
     if (fetchedCount == 0) {
       // politeness wait: carry state forward, snapshot on cadence
-      maybeSnapshot(round, frontier, hosts, ips, robots, maxSeq, force = false)
-      live = Some(st.copy(round = round))
+      val snapped = maybeSnapshot(round, frontier, hosts, ips, robots, maxSeq, force = false)
+      live = Some(
+        if (snapped)
+          st.copy(round = round,
+            frontier = spark.read.parquet(stateDir(round, "frontier")),
+            tombstones = emptyTombstones, pendingRows = st.pendingRows, tombRows = 0L)
+        else st.copy(round = round))
       fetched.unpersist(); units.unpersist(); disallowed.unpersist()
       return 0
     }
@@ -399,23 +440,26 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
     // --- store: docs with digest + exact cross-crawl duplicate detection ---
     val digestsSeen = st.digests
     val pages = fetched.toDF.where(!col("isRobots") && col("status") === 200)
-    val docsRaw = pages
-      .withColumn("digest", digest_of_spans(col("host"), col("spans"), col("status"), lit(null).cast("string")))
-    // within-round duplicate = not the digest's first seq; aggregation-based
-    // (partial agg), so a viral duplicate page is skew-immune
-    val firstDigest = docsRaw.groupBy("digest").agg(min("seq").as("__minSeq"))
-    val docs = docsRaw
-      .join(firstDigest, Seq("digest"))
-      .withColumn("__dupInBatch", col("seq") > col("__minSeq"))
-      .join(digestsSeen.select(col("digest"), lit(true).as("__dupAcross")), Seq("digest"), "left")
-      .withColumn("is_duplicate", col("__dupInBatch") || coalesce(col("__dupAcross"), lit(false)))
-      .select(col("url").as("doc_id"), col("schemeAuthority"), col("spans"),
-        col("digest"), col("status"), col("is_duplicate"), col("truncated"),
-        size(col("links")).as("n_links"), lit(round).as("round"))
-      .cache()
-    docs.write.mode(SaveMode.Overwrite).parquet(appendDir("docs", round))
-    val newDigests = docs.where(!col("is_duplicate")).select("digest").distinct()
-    newDigests.write.mode(SaveMode.Overwrite).parquet(appendDir("digests", round))
+    val (docs, newDigests) = if (cfg.storeDocs) {
+      val docsRaw = pages
+        .withColumn("digest", digest_of_spans(col("host"), col("spans"), col("status"), lit(null).cast("string")))
+      // within-round duplicate = not the digest's first seq; aggregation-
+      // based (partial agg), so a viral duplicate page is skew-immune
+      val firstDigest = docsRaw.groupBy("digest").agg(min("seq").as("__minSeq"))
+      val d = docsRaw
+        .join(firstDigest, Seq("digest"))
+        .withColumn("__dupInBatch", col("seq") > col("__minSeq"))
+        .join(digestsSeen.select(col("digest"), lit(true).as("__dupAcross")), Seq("digest"), "left")
+        .withColumn("is_duplicate", col("__dupInBatch") || coalesce(col("__dupAcross"), lit(false)))
+        .select(col("url").as("doc_id"), col("schemeAuthority"), col("spans"),
+          col("digest"), col("status"), col("is_duplicate"), col("truncated"),
+          size(col("links")).as("n_links"), lit(round).as("round"))
+        .cache()
+      d.write.mode(SaveMode.Overwrite).parquet(appendDir("docs", round))
+      val nd = d.where(!col("is_duplicate")).select("digest").distinct()
+      nd.write.mode(SaveMode.Overwrite).parquet(appendDir("digests", round))
+      (d, nd)
+    } else (pages.limit(0).select(col("url").as("doc_id")).cache(), emptyDigests)
 
     // --- robots parse -> broadcast state table update ---
     val newRobots = fetched.where(col("isRobots")).map { r =>
@@ -474,10 +518,17 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
     // are retried after the host's backoff (exception state machine)
     val fetchedUrls = fetched.toDF
       .where(!col("isRobots") && col("status") < 500).select("urlHash")
-    val frontierNext = frontier
-      .join(fetchedUrls, Seq("urlHash"), "left_anti")
-      .join(disallowed, Seq("urlHash"), "left_anti")
-      .unionByName(newFrontier)
+    val fetchedPages = fetchedUrls.count()
+    val disallowedCount = disallowed.count()
+    // append-only: the new-URL delta is materialized (lc) and appended;
+    // consumed rows are only tombstoned
+    val newDelta = newFrontier.select(st.frontier.columns.map(col): _*).transform(lc)
+    val frontierNext = st.frontier.unionByName(newDelta)
+    val tombstonesNext = st.tombstones
+      .unionByName(fetchedUrls).unionByName(disallowed)
+      .transform(lc)
+    val pendingRowsNext = st.pendingRows + dedupOut - fetchedPages - disallowedCount
+    val tombRowsNext = st.tombRows + fetchedPages + disallowedCount
 
     // hosts: politeness + stored-count + robotsDone + retry/backoff updates
     val hostFetchAgg = fetched.toDF.groupBy("schemeAuthority").agg(
@@ -519,7 +570,7 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
     // Per-partition rows carry only per-partition quantities; round-global
     // quantities (sieve in/out, duplicates) live on ONE partition_id=-1 row,
     // so any aggregation over the table stays correct.
-    val duplicates = docs.where(col("is_duplicate")).count()
+    val duplicates = if (cfg.storeDocs) docs.where(col("is_duplicate")).count() else 0L
     val perPartition = fetched.toDF
       .withColumn("partition_id", spark_partition_id())
       .groupBy("partition_id")
@@ -542,21 +593,29 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
       .write.mode(SaveMode.Overwrite).parquet(appendDir("metrics", round))
 
     // --- commit: snapshot on cadence, thread state in memory otherwise ---
-    val snapped = maybeSnapshot(round, frontierNext, hostsNext, ipsNext, robotsNext,
+    val compactedNext = frontierNext
+      .join(broadcast(tombstonesNext), Seq("urlHash"), "left_anti")
+    val snapped = maybeSnapshot(round, compactedNext, hostsNext, ipsNext, robotsNext,
       maxSeq + dedupOut, force = false)
-    val (fNext, hNext, iNext, rNext) =
+    val (fNext, tombNext, tombRowsFinal) =
       if (snapped)
-        (spark.read.parquet(stateDir(round, "frontier")),
-          spark.read.parquet(stateDir(round, "hosts")),
+        (spark.read.parquet(stateDir(round, "frontier")), emptyTombstones, 0L)
+      else if (tombRowsNext >= cfg.tombstoneCompactRows)
+        (compactedNext.transform(lc), emptyTombstones, 0L) // amortized GC
+      else (frontierNext, tombstonesNext, tombRowsNext)
+    val (hNext, iNext, rNext) =
+      if (snapped)
+        (spark.read.parquet(stateDir(round, "hosts")),
           spark.read.parquet(stateDir(round, "ips")),
           spark.read.parquet(stateDir(round, "robots")))
       else
-        (frontierNext.localCheckpoint(true), hostsNext.localCheckpoint(true),
-          ipsNext.localCheckpoint(true), robotsNext.localCheckpoint(true))
-    val seenNext = seen.unionByName(seenDelta.localCheckpoint(true))
-    val digestsNext = st.digests.unionByName(newDigests.localCheckpoint(true))
+        (hostsNext.transform(lc), ipsNext.transform(lc), robotsNext.transform(lc))
+    val seenNext = seen.unionByName(seenDelta.transform(lc))
+    val digestsNext =
+      if (cfg.storeDocs) st.digests.unionByName(newDigests.transform(lc))
+      else st.digests
     live = Some(LiveState(round, maxSeq + dedupOut, fNext, hNext, iNext, rNext,
-      seenNext, digestsNext))
+      seenNext, digestsNext, tombNext, pendingRowsNext, tombRowsFinal))
 
     fetched.unpersist(); units.unpersist(); docs.unpersist(); newFrontier.unpersist()
     disallowed.unpersist(); parsedLinks.unpersist()
@@ -573,8 +632,12 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
 
   /** Force a snapshot of the current live state (used at end of run). */
   private def snapshotLive(): Unit = live.foreach { st =>
-    if (!exists(stateDir(st.round, "scalars") + "/_SUCCESS"))
-      writeState(st.round, st.frontier, st.hosts, st.ips, st.robots, st.maxSeq)
+    if (!exists(stateDir(st.round, "scalars") + "/_SUCCESS")) {
+      val compacted =
+        if (st.tombRows == 0) st.frontier
+        else st.frontier.join(broadcast(st.tombstones), Seq("urlHash"), "left_anti")
+      writeState(st.round, compacted, st.hosts, st.ips, st.robots, st.maxSeq)
+    }
   }
 
   /** Run (or resume) the crawl up to cfg.maxRounds; returns rounds executed.
@@ -587,10 +650,13 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
     var drained = false
     while (round < cfg.maxRounds && !drained) {
       round += 1
+      val t0 = System.nanoTime()
       val n = runRound(round)
+      if (cfg.logRounds)
+        println(f"[crawler] round=$round fetched=$n wall=${(System.nanoTime() - t0) / 1e9}%.1fs")
       executed += 1
       if (n == 0)
-        drained = live.forall(_.frontier.isEmpty)
+        drained = live.forall(_.pendingRows <= 0)
     }
     snapshotLive()
     executed
@@ -613,6 +679,14 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
 
   /** Final URL-seen membership (hashes). */
   def seenHashes(): DataFrame = readSeen(lastAppendRound())
+
+  /** Frontier state table at the last snapshot. */
+  def frontierState(): DataFrame =
+    spark.read.parquet(stateDir(lastCompleteRound(), "frontier"))
+
+  /** Hosts state table at the last snapshot. */
+  def hostsState(): DataFrame =
+    spark.read.parquet(stateDir(lastCompleteRound(), "hosts"))
 
   /** All per-round metrics. */
   def metrics(): DataFrame = {

@@ -45,11 +45,12 @@ object Ranking {
     * within a key. Preserves all columns of the winning row. */
   def firstPerKey(df: DataFrame, keyCol: String, orderCols: Seq[String]): DataFrame = {
     val orderStruct = struct(orderCols.map(col): _*)
-    val winners = df.groupBy(col(keyCol))
+    // renamed key avoids self-join attribute ambiguity (which would
+    // degrade the key equality to a trivially-true predicate)
+    val winners = df.groupBy(col(keyCol).as("__fpkKey"))
       .agg(min(orderStruct).as("__winner"))
     df.join(winners,
-        df(keyCol) === winners(keyCol) && orderStruct === col("__winner"))
-      .drop(winners(keyCol))
-      .drop("__winner")
+        col(keyCol) === col("__fpkKey") && orderStruct === col("__winner"))
+      .drop("__fpkKey", "__winner")
   }
 }

@@ -85,16 +85,39 @@ object Sieve {
   def seenBloom(seen: DataFrame, expected: Long, fpp: Double = 0.01): BloomFilter =
     seen.stat.bloomFilter("urlHash", math.max(expected, 1L), fpp)
 
-  /** Assign dense, deterministic `seq` numbers to a (small) per-round batch
-    * of new URLs: `startSeq + rank` in the batch's first-enqueue order.
+  /** Assign dense, deterministic `seq` numbers to the per-round batch of
+    * new URLs: `startSeq + rank` in the batch's first-enqueue order (the
+    * reference re-sorts each sieve flush globally, `MercatorSieve.java:349`).
     *
-    * The global window is a deliberate, documented choice: the reference
-    * itself re-sorts each sieve flush globally (`MercatorSieve.java:349`),
-    * and the batch being ranked is the per-round *new-URL* set — orders of
-    * magnitude smaller than the seen store (SURVEY.md §7.4). */
+    * Distributed two-phase rank — no single-partition global window:
+    *  1. range-partition by the order columns (global order across
+    *     partitions; Spark's RangePartitioner samples deterministically);
+    *  2. count rows per range partition -> per-partition rank offsets;
+    *  3. rank within each frozen partition id and add its offset.
+    * The partition-id column is a pure function of the deterministic range
+    * bounds, so both passes see identical ids at any parallelism. */
   def assignSeq(newUrls: DataFrame, orderCols: Seq[String], startSeq: Long): DataFrame = {
-    val w = Window.orderBy(orderCols.map(col): _*)
-    newUrls
-      .withColumn("seq", row_number().over(w).cast("long") + startSeq)
+    val spark = newUrls.sparkSession
+    val order = orderCols.map(col)
+    val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    // lazy localCheckpoint: the count pass materializes the ranged batch in
+    // block storage; the rank pass reuses it instead of recomputing the
+    // whole upstream dedup pipeline
+    val ranged = newUrls
+      .repartitionByRange(parts, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
+    val counts = ranged.groupBy("__pid").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.scanLeft((0, startSeq)) { case ((_, acc), (pid, n)) => (pid, acc + n) }
+    val offsetOf = counts.map(_._1).zip(offsets.map(_._2)).toMap // pid -> startSeq + rows before
+    val offsetDf = spark.createDataFrame(
+      offsetOf.toSeq.map { case (pid, off) => (pid, off) }).toDF("__pid", "__offset")
+    val wLocal = Window.partitionBy("__pid").orderBy(order: _*)
+    ranged
+      .withColumn("__local", row_number().over(wLocal).cast("long"))
+      .join(broadcast(offsetDf), Seq("__pid"))
+      .withColumn("seq", col("__offset") + col("__local"))
+      .drop("__pid", "__local", "__offset")
   }
 }

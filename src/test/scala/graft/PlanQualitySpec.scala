@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the plans we ship are the plans we want —
+  * filters reach the parquet scan, small dims broadcast, scans prune
+  * columns, hot paths stay in whole-stage codegen. Guards against silent
+  * plan regressions (a correct-but-10x-slower operator is not done). */
+class PlanQualitySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def physicalPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter pushdown reaches the parquet scan") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .where(col("l_quantity") > 40 && col("l_returnflag") === "R")
+      .select("l_orderkey", "l_quantity")
+    val plan = physicalPlan(df)
+    assert(plan.contains("PushedFilters") &&
+      (plan.contains("GreaterThan(l_quantity") || plan.contains("IsNotNull(l_quantity")),
+      s"filters not pushed:\n$plan")
+  }
+
+  test("column pruning: 2-column projection reads a 2-column schema") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val plan = physicalPlan(df)
+    assert(plan.contains("ReadSchema"), plan)
+    val readSchema = plan.split("ReadSchema:")(1).takeWhile(_ != '\n')
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_extendedprice"),
+      s"scan reads more columns than projected: $readSchema")
+  }
+
+  test("q_join_topn uses a broadcast hash join") {
+    val plan = physicalPlan(SparkEntry.queries("q_join_topn")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("q1_agg is a two-phase hash aggregate inside whole-stage codegen") {
+    val plan = physicalPlan(SparkEntry.queries("q1_agg")(spark, sf))
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("WholeStageCodegen"), plan)
+    // partial aggregation before the exchange (map-side combine)
+    assert(plan.indexOf("HashAggregate") < plan.lastIndexOf("HashAggregate"), plan)
+  }
+
+  test("murmur64 expression participates in whole-stage codegen") {
+    import graft.functions._
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .select(murmur64(col("text")).as("h"))
+      .where(col("h") =!= 0)
+    val plan = physicalPlan(df)
+    assert(plan.contains("WholeStageCodegen"), s"murmur64 fell out of codegen:\n$plan")
+  }
+
+  test("sieve anti-join on hashes plans as a hash/SMJ anti join") {
+    import spark.implicits._
+    val batch = (1L to 1000L).map(i => (s"u$i", i, 0L, i)).toDF("url", "urlHash", "parentSeq", "linkIdx")
+    val seen = (1L to 500L).toDF("urlHash")
+    val out = graft.frontier.Sieve.newUrls(batch, seen, Seq("parentSeq", "linkIdx"))
+    val plan = physicalPlan(out)
+    assert(plan.contains("LeftAnti"), s"expected anti join:\n$plan")
+  }
+
+  test("exact dedup groups aggregate without a window (no sort-based skew)") {
+    val plan = physicalPlan(SparkEntry.queries("q_exact_dedup")(spark, sf))
+    assert(plan.contains("HashAggregate") && !plan.contains("Window"), plan)
+  }
+}

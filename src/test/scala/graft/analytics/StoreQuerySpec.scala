@@ -1,0 +1,85 @@
+package graft.analytics
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.frontier.{CrawlConfig, Crawler}
+import graft.synth.SyntheticWeb
+
+/** Store analytics (ParallelFilteredProcessorRunner replacements) + crawl
+  * telemetry over a real mini-crawl's docs/trace/metrics. */
+class StoreQuerySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val crawler: Crawler = {
+    val dir = Files.createTempDirectory("graft-storequery").toString
+    val c = new Crawler(spark, dir, CrawlConfig(
+      web = SyntheticWeb.Config(sites = 40, degree = 4, maxDepth = 2),
+      nSeeds = 6, hostDelay = 1, ipDelay = 1, burst = 4, maxRounds = 6,
+      statePartitions = 4))
+    c.run()
+    c
+  }
+
+  test("DSL scan over the docs store, ordered") {
+    val docs = crawler.docs()
+    val out = StoreQuery.scan(docs, "StatusCategory(2) and SchemeEquals(http)",
+      Seq("doc_id", "status", "round"))
+    assert(out.count() > 0)
+    assert(out.where(col("status") =!= 200).count() == 0)
+    // excluded by filter:
+    val none = StoreQuery.scan(docs, "StatusCategory(5)", Seq("doc_id"))
+    assert(none.count() == 0)
+  }
+
+  test("url-digest-status-length projection") {
+    val p = StoreQuery.urlDigestStatusLength(crawler.docs())
+    assert(p.count() == crawler.docs().count())
+    assert(p.where(col("text_length") < 0).count() == 0)
+    assert(p.columns.toSet == Set("doc_id", "digest", "status", "text_length"))
+  }
+
+  test("archetype resolution: duplicates point at the first doc of a digest") {
+    val a = StoreQuery.archetypes(crawler.docs())
+    // every digest group has exactly one non-duplicate archetype
+    val groups = a.groupBy("digest").agg(
+      sum(when(!col("is_duplicate_of_archetype"), 1).otherwise(0)).as("n_arch"))
+    assert(groups.where(col("n_arch") =!= 1).count() == 0)
+    // archetype of a non-duplicate is itself
+    assert(a.where(!col("is_duplicate_of_archetype") && col("doc_id") =!= col("archetype"))
+      .count() == 0)
+  }
+
+  test("repetition set is empty for a sieve-deduped crawl") {
+    // the sieve guarantees each URL is stored at most once
+    assert(StoreQuery.repetitionSet(crawler.docs()).count() == 0)
+  }
+
+  test("media edge graph extracts host-level edges") {
+    val e = StoreQuery.mediaEdges(crawler.docs())
+    assert(e.count() > 0)
+    assert(e.where(col("count") <= 0).count() == 0)
+  }
+
+  test("crawl stats: histograms and summaries") {
+    val trace = crawler.trace()
+    val status = CrawlStats.statusClassBreakdown(trace).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(status.getOrElse(2, 0L) > 0)
+    val deg = CrawlStats.outdegreeStats(crawler.docs()).collect()(0)
+    assert(deg.getAs[Long]("n_pages") > 0)
+    assert(deg.getAs[Double]("mean_outdegree") >= 0)
+    val mix = CrawlStats.spanKindMix(crawler.docs()).collect()
+    assert(mix.map(_.getString(1)).toSet.subsetOf(Set("text", "media")))
+    val prog = CrawlStats.progress(crawler.metrics()).collect()
+    assert(prog.nonEmpty && prog.forall(_.getAs[Long]("fetched") > 0))
+  }
+}
