@@ -21,6 +21,12 @@ class PlanQualitySpec extends AnyFunSuite {
   private def physicalPlan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** AQE finalizes the plan only on execution; materialize then inspect. */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
   test("filter pushdown reaches the parquet scan") {
     val df = spark.read.parquet(s"$sf/lineitem.parquet")
       .where(col("l_quantity") > 40 && col("l_returnflag") === "R")
@@ -48,9 +54,10 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("q1_agg is a two-phase hash aggregate inside whole-stage codegen") {
-    val plan = physicalPlan(SparkEntry.queries("q1_agg")(spark, sf))
+    val plan = finalPlan(SparkEntry.queries("q1_agg")(spark, sf))
     assert(plan.contains("HashAggregate"), plan)
-    assert(plan.contains("WholeStageCodegen"), plan)
+    // "*(n)" prefixes mark whole-stage-codegen stages in the plan string
+    assert(plan.contains("*(1)"), s"no codegen stage:\n$plan")
     // partial aggregation before the exchange (map-side combine)
     assert(plan.indexOf("HashAggregate") < plan.lastIndexOf("HashAggregate"), plan)
   }
@@ -60,8 +67,11 @@ class PlanQualitySpec extends AnyFunSuite {
     val df = spark.read.parquet(s"$sf/documents.parquet")
       .select(murmur64(col("text")).as("h"))
       .where(col("h") =!= 0)
-    val plan = physicalPlan(df)
-    assert(plan.contains("WholeStageCodegen"), s"murmur64 fell out of codegen:\n$plan")
+    val plan = finalPlan(df)
+    assert(plan.contains("*(1)"), s"murmur64 fell out of codegen:\n$plan")
+    // the custom expression itself sits INSIDE the codegen stage
+    assert(plan.contains("*(1) Project [murmur64_bubing") ||
+      plan.contains("*(1) Filter NOT (murmur64_bubing"), plan)
   }
 
   test("sieve anti-join on hashes plans as a hash/SMJ anti join") {
