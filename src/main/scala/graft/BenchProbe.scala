@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+import graft.frontier.{CrawlConfig, Crawler}
+import graft.synth.SyntheticWeb
+
+/** Diagnostic main for the frontier-scaling work: runs the bench crawl at
+  * one parallelism level and prints aggregate task metrics (CPU vs GC vs
+  * shuffle vs spill), so 8-vs-32-thread regressions can be attributed
+  * instead of guessed at. Not part of the driver contract.
+  *
+  * Usage: runMain graft.BenchProbe <threads> <seeds> [workBase]
+  */
+object BenchProbe {
+
+  final class MetricsListener extends SparkListener {
+    @volatile var runTime = 0L
+    @volatile var cpuTime = 0L // ns
+    @volatile var gcTime = 0L
+    @volatile var shuffleWrite = 0L
+    @volatile var shuffleRead = 0L
+    @volatile var memSpill = 0L
+    @volatile var diskSpill = 0L
+    @volatile var inputBytes = 0L
+    @volatile var outputBytes = 0L
+    @volatile var serTime = 0L
+    @volatile var deserTime = 0L
+    @volatile var shuffleWriteTime = 0L // ns
+    @volatile var shuffleFetchWait = 0L
+    @volatile var stages = 0L
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = synchronized {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        runTime += m.executorRunTime
+        cpuTime += m.executorCpuTime
+        gcTime += m.jvmGCTime
+        shuffleWrite += m.shuffleWriteMetrics.bytesWritten
+        shuffleRead += m.shuffleReadMetrics.totalBytesRead
+        memSpill += m.memoryBytesSpilled
+        diskSpill += m.diskBytesSpilled
+        inputBytes += m.inputMetrics.bytesRead
+        outputBytes += m.outputMetrics.bytesWritten
+        serTime += m.resultSerializationTime
+        deserTime += m.executorDeserializeTime
+        shuffleWriteTime += m.shuffleWriteMetrics.writeTime
+        shuffleFetchWait += m.shuffleReadMetrics.fetchWaitTime
+        stages += 1
+      }
+    }
+    def report(wall: Double): String = {
+      f"""wall=$wall%.1fs stages=$stages
+         |  executorRunTime=${runTime / 1000.0}%.1fs cpuTime=${cpuTime / 1e9}%.1fs gcTime=${gcTime / 1000.0}%.1fs
+         |  runMinusCpu(wait/gc/io)=${(runTime - cpuTime / 1000000) / 1000.0}%.1fs
+         |  shuffleWrite=${shuffleWrite / 1e9}%.2fGB (writeTime=${shuffleWriteTime / 1e9}%.1fs) shuffleRead=${shuffleRead / 1e9}%.2fGB (fetchWait=${shuffleFetchWait / 1000.0}%.1fs)
+         |  spill mem=${memSpill / 1e9}%.2fGB disk=${diskSpill / 1e9}%.2fGB
+         |  input=${inputBytes / 1e9}%.2fGB output=${outputBytes / 1e9}%.2fGB serTime=${serTime / 1000.0}%.1fs deserTime=${deserTime / 1000.0}%.1fs
+         |""".stripMargin
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val threads = args(0).toInt
+    val seeds = args(1).toInt
+    val workBase = if (args.length > 2) args(2) else "/dev/shm/graft-probe"
+    val localDir = s"/dev/shm/graft-probe-spark-$threads"
+    val spark = SparkSession.builder()
+      .master(s"local[$threads]")
+      .appName(s"graft-probe-$threads")
+      .config("spark.sql.shuffle.partitions", threads.toString)
+      .config("spark.local.dir", localDir)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val listener = new MetricsListener
+    spark.sparkContext.addSparkListener(listener)
+
+    val cfg = CrawlConfig(
+      web = SyntheticWeb.Config(sites = 2000000, degree = 20, maxDepth = 3),
+      nSeeds = seeds,
+      hostDelay = 1, ipDelay = 1, burst = 8,
+      maxRounds = 4,
+      robotsEnabled = false,
+      storeDocs = false,
+      bloomExpected = 64L << 20,
+      checkpointEvery = 99,
+      statePartitions = threads,
+      logRounds = true,
+      stateStorage = "DISK_ONLY")
+    val work = s"$workBase-$threads-${System.currentTimeMillis()}"
+    val crawler = new Crawler(spark, work, cfg)
+    val t0 = System.nanoTime()
+    crawler.run()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val m = crawler.metrics().agg(
+      org.apache.spark.sql.functions.sum("fetched"),
+      org.apache.spark.sql.functions.sum("dedup_in")).collect()(0)
+    val processed = m.getLong(0) + m.getLong(1)
+    println(s"[probe] threads=$threads processed=$processed rate=${(processed / wall).toLong}/s")
+    println(listener.report(wall))
+    spark.stop()
+  }
+}

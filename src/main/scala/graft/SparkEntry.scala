@@ -199,10 +199,14 @@ object SparkEntry {
       s.read.parquet(t(dir, "documents")).limit(4000), "doc_id", "text",
       shingleK = 5, numHashes = 32, bands = 8, minEstJaccard = 0.3)
 
+  /** Exact n-gram Jaccard verification stage over a deterministic
+    * (SQL-expressible) candidate-pair set: adjacent doc ids. The
+    * LSH-candidates -> Jaccard composition is covered by AnalyticsSpec. */
   private def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val docs = s.read.parquet(t(dir, "documents")).limit(4000)
-    val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
-      shingleK = 5, numHashes = 32, bands = 8, minEstJaccard = 0.0)
+    val docs = s.read.parquet(t(dir, "documents"))
+    val ids = docs.select(col("doc_id"))
+    val pairs = ids.where(col("doc_id") % 3 === 0).select(col("doc_id").as("id1"))
+      .join(ids.select(col("doc_id").as("id2")), col("id2") === col("id1") + 1)
     Dedup.ngramJaccard(pairs, docs, "doc_id", "text", n = 3)
   }
 
@@ -232,7 +236,13 @@ object SparkEntry {
         array(struct(lit("media").as("kind"), lit("").as("text"),
           concat(lit("http://m.example/img"), col("doc_id")).as("media_ref"),
           lit(0).as("offset"))).as("spans"))
+    // project the float[] feature to a scalar digest: the driver's
+    // canonicalizer (pandas sort) cannot order ndarray cells
     Multimodal.extractFeatures(Multimodal.mediaTable(docs, s)).toDF
+      .withColumn("feature_sig",
+        xxhash64(array_join(transform(col("feature"),
+          f => round(f.cast("double") * 10000).cast("long").cast("string")), ",")))
+      .drop("feature")
   }
 
   /** One mini-crawl shared by the crawl-output queries (memoized per
@@ -349,8 +359,8 @@ object SparkEntry {
     "q_join_topn" ->
       """SELECT l_orderkey AS orderkey, o_custkey AS custkey, revenue_c4 FROM (
         |  SELECT l_orderkey,
-        |         sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
-        |             (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_c4
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |             (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c4
         |  FROM lineitem GROUP BY l_orderkey) r
         |JOIN orders ON l_orderkey = o_orderkey
         |ORDER BY revenue_c4 DESC, orderkey LIMIT 10""".stripMargin,
@@ -364,7 +374,7 @@ object SparkEntry {
       """SELECT CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hour_id,
         |       event_type,
         |       count(*) AS n,
-        |       sum(CAST(round(value * 100) AS BIGINT)) AS value_cents,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
         |       count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q_exact_dedup" ->
@@ -422,6 +432,25 @@ object SparkEntry {
         |FROM s""".stripMargin,
     "q_media_bytes" ->
       "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents",
+    "q_ngram_jaccard" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(
+        |      list_transform(range(1, greatest(len(string_split(text,' ')) - 3, 0) + 2),
+        |        i -> array_to_string((string_split(text,' '))[i : i + 2], ' ')),
+        |      x -> length(x) > 0)) AS grams
+        |  FROM documents)
+        |SELECT p.id1, p.id2,
+        |  CASE WHEN CAST(len(g1.grams) + len(g2.grams)
+        |              - len(list_intersect(g1.grams, g2.grams)) AS DOUBLE) = 0 THEN 0.0
+        |       ELSE CAST(len(list_intersect(g1.grams, g2.grams)) AS DOUBLE)
+        |          / CAST(len(g1.grams) + len(g2.grams)
+        |              - len(list_intersect(g1.grams, g2.grams)) AS DOUBLE) END AS jaccard
+        |FROM (SELECT a.doc_id AS id1, b.doc_id AS id2
+        |      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |      WHERE a.doc_id % 3 = 0) p
+        |JOIN g g1 ON g1.doc_id = p.id1
+        |JOIN g g2 ON g2.doc_id = p.id2""".stripMargin,
     "q_ann_brute" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0)
         |SELECT CAST(row_number() OVER (ORDER BY cosine DESC, id) AS BIGINT) AS "rank", id, cosine

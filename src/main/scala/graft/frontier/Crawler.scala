@@ -432,9 +432,11 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
       return 0
     }
 
-    // trace: the crawl ordering artifact (round, seq, url)
+    // trace: the crawl ordering artifact (round, seq, url). `round` lives
+    // in the round=N directory name (a real partition column), so readers
+    // do ONE partition-discovering scan with pruning — not a union of reads.
     fetched.toDF
-      .select(lit(round).as("round"), col("seq"), col("url"), col("isRobots"), col("status"))
+      .select(col("seq"), col("url"), col("isRobots"), col("status"))
       .write.mode(SaveMode.Overwrite).parquet(appendDir("trace", round))
 
     // --- store: docs with digest + exact cross-crawl duplicate detection ---
@@ -453,7 +455,7 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
         .withColumn("is_duplicate", col("__dupInBatch") || coalesce(col("__dupAcross"), lit(false)))
         .select(col("url").as("doc_id"), col("schemeAuthority"), col("spans"),
           col("digest"), col("status"), col("is_duplicate"), col("truncated"),
-          size(col("links")).as("n_links"), lit(round).as("round"))
+          size(col("links")).as("n_links")) // round = partition dir
         .cache()
       d.write.mode(SaveMode.Overwrite).parquet(appendDir("docs", round))
       val nd = d.where(!col("is_duplicate")).select("digest").distinct()
@@ -579,17 +581,16 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
         sum(when(col("status") === 200 && !col("isRobots"), 1L).otherwise(0L)).as("parsed"),
         sum(when(col("status") >= 500, 1L).otherwise(0L)).as("failed"),
         sum(size(col("links"))).cast("long").as("links_out"))
-      .withColumn("round", lit(round))
       .withColumn("dedup_in", lit(0L))
       .withColumn("dedup_out", lit(0L))
       .withColumn("duplicates", lit(0L))
-    val globalRow = Seq((round, -1, 0L, 0L, 0L, 0L, 0L, dedupIn, dedupOut, duplicates))
-      .toDF("round", "partition_id", "fetched", "robots_fetched", "parsed", "failed",
+    val globalRow = Seq((-1, 0L, 0L, 0L, 0L, 0L, dedupIn, dedupOut, duplicates))
+      .toDF("partition_id", "fetched", "robots_fetched", "parsed", "failed",
         "links_out", "dedup_in", "dedup_out", "duplicates")
     perPartition
-      .select("round", "partition_id", "fetched", "robots_fetched", "parsed", "failed",
+      .select("partition_id", "fetched", "robots_fetched", "parsed", "failed",
         "links_out", "dedup_in", "dedup_out", "duplicates")
-      .unionByName(globalRow)
+      .unionByName(globalRow) // round = partition dir
       .write.mode(SaveMode.Overwrite).parquet(appendDir("metrics", round))
 
     // --- commit: snapshot on cadence, thread state in memory otherwise ---
@@ -662,20 +663,21 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
     executed
   }
 
-  /** The crawl-order trace: (round, seq, url, isRobots, status), ordered. */
+  /** The crawl-order trace: (round, seq, url, isRobots, status), ordered.
+    * One partition-discovering scan (round = partition column). */
   def trace(): DataFrame = {
-    val dirs = (0 to lastAppendRound()).map(appendDir("trace", _)).filter(exists)
-    if (dirs.isEmpty) Seq.empty[(Int, Long, String, Boolean, Int)]
+    if (!exists(s"$workDir/trace")) Seq.empty[(Int, Long, String, Boolean, Int)]
       .toDF("round", "seq", "url", "isRobots", "status")
-    else dirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+    else spark.read.parquet(s"$workDir/trace")
+      .where(col("round") <= lastAppendRound())
+      .select("round", "seq", "url", "isRobots", "status")
       .orderBy("round", "seq")
   }
 
-  /** All stored docs so far. */
-  def docs(): DataFrame = {
-    val dirs = (0 to lastAppendRound()).map(appendDir("docs", _)).filter(exists)
-    dirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
-  }
+  /** All stored docs so far (single pruned scan; round = partition col). */
+  def docs(): DataFrame =
+    spark.read.parquet(s"$workDir/docs")
+      .where(col("round") <= lastAppendRound())
 
   /** Final URL-seen membership (hashes). */
   def seenHashes(): DataFrame = readSeen(lastAppendRound())
@@ -688,10 +690,12 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
   def hostsState(): DataFrame =
     spark.read.parquet(stateDir(lastCompleteRound(), "hosts"))
 
-  /** All per-round metrics. */
+  /** All per-round metrics (single pruned scan; round = partition col). */
   def metrics(): DataFrame = {
-    val dirs = (1 to lastAppendRound()).map(appendDir("metrics", _)).filter(exists)
-    if (dirs.isEmpty) spark.emptyDataset[RoundMetrics].toDF
-    else dirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+    if (!exists(s"$workDir/metrics")) spark.emptyDataset[RoundMetrics].toDF
+    else spark.read.parquet(s"$workDir/metrics")
+      .where(col("round") <= lastAppendRound())
+      .select("round", "partition_id", "fetched", "robots_fetched", "parsed",
+        "failed", "links_out", "dedup_in", "dedup_out", "duplicates")
   }
 }
