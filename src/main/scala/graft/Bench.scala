@@ -62,7 +62,11 @@ object Bench {
   private def crawlBench(threads: Int, scale: Int): (Double, Long, Double, String, Long) = {
     val spark = session(threads)
     try {
-      val work = Files.createTempDirectory(s"graft-bench-$threads").toString
+      // workDir on tmpfs: the per-round seen/trace/metrics appends are on
+      // the data path; /tmp is a spinning virtual disk on this box and its
+      // contention inverted the 8-vs-32 scaling in round 1
+      val work = Files.createTempDirectory(
+        java.nio.file.Paths.get("/dev/shm"), s"graft-bench-$threads").toString
       val cfg = benchConfig(threads, scale)
       val crawler = new Crawler(spark, work, cfg)
       val t0 = System.nanoTime()
@@ -93,7 +97,7 @@ object Bench {
         val spark = session(cpus)
         // crawl-engine queries are benched below as the frontier run
         val skip = Set("q_crawl_e2e", "q_store_archetypes", "q_crawl_progress",
-          "q_queue_histogram", "q_media_edges")
+          "q_queue_histogram", "q_media_edges", "q_graph_map", "q_speed_histogram")
         val r = SparkEntry.queries.toSeq.sortBy(_._1).collect {
           case (name, fn) if !skip(name) =>
             val t0 = System.nanoTime()

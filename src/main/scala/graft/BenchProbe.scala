@@ -1,5 +1,7 @@
 package graft
 
+import scala.collection.mutable
+
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
@@ -30,9 +32,15 @@ object BenchProbe {
     @volatile var shuffleWriteTime = 0L // ns
     @volatile var shuffleFetchWait = 0L
     @volatile var stages = 0L
+    val perStage = mutable.ArrayBuffer.empty[(String, Long, Long, Long, Long)]
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = synchronized {
       val m = sc.stageInfo.taskMetrics
+      val wallMs = (for {
+        s <- sc.stageInfo.submissionTime; e <- sc.stageInfo.completionTime
+      } yield e - s).getOrElse(0L)
       if (m != null) {
+        perStage += ((sc.stageInfo.name.take(70), wallMs, m.executorRunTime,
+          m.executorCpuTime / 1000000, m.shuffleWriteMetrics.writeTime / 1000000))
         runTime += m.executorRunTime
         cpuTime += m.executorCpuTime
         gcTime += m.jvmGCTime
@@ -49,6 +57,12 @@ object BenchProbe {
         stages += 1
       }
     }
+    def topStages(n: Int): String = synchronized {
+      val byWall = perStage.sortBy(-_._2).take(n)
+      byWall.map { case (name, w, r, c, sw) =>
+        f"  wall=${w / 1000.0}%6.1fs run=${r / 1000.0}%7.1fs cpu=${c / 1000.0}%7.1fs shufW=${sw / 1000.0}%6.1fs  $name"
+      }.mkString("\n")
+    }
     def report(wall: Double): String = {
       f"""wall=$wall%.1fs stages=$stages
          |  executorRunTime=${runTime / 1000.0}%.1fs cpuTime=${cpuTime / 1e9}%.1fs gcTime=${gcTime / 1000.0}%.1fs
@@ -63,16 +77,23 @@ object BenchProbe {
   def main(args: Array[String]): Unit = {
     val threads = args(0).toInt
     val seeds = args(1).toInt
-    val workBase = if (args.length > 2) args(2) else "/dev/shm/graft-probe"
+    val workBase = "/dev/shm/graft-probe"
     val localDir = s"/dev/shm/graft-probe-spark-$threads"
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$threads]")
       .appName(s"graft-probe-$threads")
       .config("spark.sql.shuffle.partitions", threads.toString)
       .config("spark.local.dir", localDir)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // trailing args: k=v spark conf overrides, plus storage=<level> for the
+    // crawler state storage
+    var storage = "DISK_ONLY"
+    args.drop(2).foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      if (k == "storage") storage = v else builder.config(k, v)
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val listener = new MetricsListener
     spark.sparkContext.addSparkListener(listener)
@@ -88,7 +109,7 @@ object BenchProbe {
       checkpointEvery = 99,
       statePartitions = threads,
       logRounds = true,
-      stateStorage = "DISK_ONLY")
+      stateStorage = storage)
     val work = s"$workBase-$threads-${System.currentTimeMillis()}"
     val crawler = new Crawler(spark, work, cfg)
     val t0 = System.nanoTime()
@@ -100,6 +121,8 @@ object BenchProbe {
     val processed = m.getLong(0) + m.getLong(1)
     println(s"[probe] threads=$threads processed=$processed rate=${(processed / wall).toLong}/s")
     println(listener.report(wall))
+    println("[probe] top stages by wall:")
+    println(listener.topStages(14))
     spark.stop()
   }
 }

@@ -259,6 +259,32 @@ object SparkEntry {
       c
     })
 
+  /** HTML parse surface (HtmlParser links+spans from markup) over
+    * deterministic markup rendered from the documents table; the span
+    * sequence is SQL-expressible, so this gets a full DuckDB oracle. */
+  private def qParseSpans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(t(dir, "documents"))
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val url = s"http://d$id.example/page"
+        val html = s"""<html><body><p>$text</p><img src="http://m.example/$id.jpg"></body></html>"""
+        graft.parse.HtmlParser.parse(url, html).spans.map(sp =>
+          (id, sp.offset, sp.kind, sp.text, sp.media_ref))
+      }
+      .toDF("doc_id", "offset", "kind", "span_text", "media_ref")
+  }
+
+  /** graph map: every stored URL -> dense node id, duplicates mapped to
+    * their archetype (GenerateGraphMap) — rows-only over the mini-crawl. */
+  private def qGraphMap(s: SparkSession, dir: String): DataFrame =
+    analytics.StoreQuery.graphMap(miniCrawl(s).docs())
+
+  /** log2 histogram of per-host bytes/round (StatsThread B/s analog). */
+  private def qSpeedHistogram(s: SparkSession, dir: String): DataFrame =
+    analytics.CrawlStats.speedHistogram(miniCrawl(s).docs())
+
   /** End-to-end mini-crawl (frontier+scheduler) — rows-only smoke. */
   private def qCrawlE2e(s: SparkSession, dir: String): DataFrame =
     miniCrawl(s).trace()
@@ -304,6 +330,9 @@ object SparkEntry {
     "q_ann_lsh" -> (qAnnLsh(_, _)),
     "q_embedding_neardup" -> (qEmbeddingNearDup(_, _)),
     "q_media_features" -> (qMediaFeatures(_, _)),
+    "q_parse_spans" -> (qParseSpans(_, _)),
+    "q_graph_map" -> (qGraphMap(_, _)),
+    "q_speed_histogram" -> (qSpeedHistogram(_, _)),
     "q_crawl_e2e" -> (qCrawlE2e(_, _)),
     "q_store_archetypes" -> (qStoreArchetypes(_, _)),
     "q_crawl_progress" -> (qCrawlProgress(_, _)),
@@ -432,6 +461,15 @@ object SparkEntry {
         |FROM s""".stripMargin,
     "q_media_bytes" ->
       "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents",
+    "q_parse_spans" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, 0 AS "offset", 'text' AS kind,
+        |       text AS span_text, '' AS media_ref
+        |FROM documents
+        |UNION ALL
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, 1 AS "offset", 'media' AS kind,
+        |       '' AS span_text,
+        |       'http://m.example/' || CAST(doc_id AS VARCHAR) || '.jpg' AS media_ref
+        |FROM documents""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH g AS (
         |  SELECT doc_id,

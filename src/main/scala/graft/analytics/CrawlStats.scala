@@ -11,9 +11,21 @@ object CrawlStats {
   /** log2-binned histogram of per-host pending-queue length
     * (StatsThread.java:192-225). Input: a frontier table. */
   def queueSizeHistogram(frontier: DataFrame): DataFrame =
-    frontier.groupBy("schemeAuthority").agg(count(lit(1)).as("queue_len"))
+    frontier.groupBy("hostHash").agg(count(lit(1)).as("queue_len"))
       .groupBy(floor(log2(col("queue_len"))).cast("int").as("log2_bin"))
       .agg(count(lit(1)).as("n_hosts"))
+
+  /** log2-binned histogram of per-host transfer speed — bytes per virtual
+    * round, the StatsThread.java:192-225 B/s-distribution analog over the
+    * span model (bytes = stored text length). Input: a docs table. */
+  def speedHistogram(docs: DataFrame): DataFrame =
+    docs
+      .select(col("schemeAuthority"), col("round"),
+        aggregate(transform(col("spans"), s => length(s.getField("text"))),
+          lit(0), (acc, x) => acc + x).as("bytes"))
+      .groupBy("schemeAuthority", "round").agg(sum("bytes").as("bytes_per_round"))
+      .groupBy(floor(log2(greatest(col("bytes_per_round"), lit(1)))).cast("int").as("log2_bps"))
+      .agg(count(lit(1)).as("n_host_rounds"), sum("bytes_per_round").as("total_bytes"))
 
   /** Summary stats (count/mean/min/max/variance) of per-page outdegree
     * (Frontier.java:348-356). Input: a docs table with n_links. */

@@ -49,12 +49,30 @@ object Dedup {
       .select(col("id"), col("bk.band"), col("bk.bandHash"))
   }
 
+  /** Skew guard for LSH band self-joins: drop buckets larger than
+    * `maxBucketSize`. A single degenerate bucket (empty/boilerplate docs
+    * sharing a signature — guaranteed in web corpora) otherwise goes
+    * quadratic: at 10^9 docs one hot bucket of 10^6 members is 10^12
+    * pairs in one task. Oversized buckets are near-uniform content whose
+    * members are already collapsed by EXACT dedup upstream; dropping them
+    * costs recall only for >maxBucketSize-member near-dup clusters, and
+    * bounds per-bucket work at maxBucketSize². */
+  def capBuckets(banded: DataFrame, keyCols: Seq[String], maxBucketSize: Int): DataFrame = {
+    val counts = banded.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))
+      .where(col("__n") <= maxBucketSize)
+      .drop("__n")
+    banded.join(counts, keyCols, "left_semi")
+  }
+
   /** MinHash-LSH near-duplicate candidate pairs (id1 < id2), deduped
-    * across bands, with the estimated Jaccard from full signatures. */
+    * across bands, with the estimated Jaccard from full signatures.
+    * Buckets over `maxBucketSize` are skipped (skew guard). */
   def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5, numHashes: Int = 32, bands: Int = 8,
-      minEstJaccard: Double = 0.5): DataFrame = {
-    val b = minhashBands(docs, idCol, textCol, shingleK, numHashes, bands)
+      minEstJaccard: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
+    val b = capBuckets(
+      minhashBands(docs, idCol, textCol, shingleK, numHashes, bands),
+      Seq("band", "bandHash"), maxBucketSize)
     val pairs = b.as("l").join(b.as("r"),
         col("l.band") === col("r.band") && col("l.bandHash") === col("r.bandHash") &&
           col("l.id") < col("r.id"))
@@ -72,15 +90,19 @@ object Dedup {
       .select("id1", "id2", "est_jaccard")
   }
 
-  /** SimHash near-dup buckets: docs sharing any 16-bit band of their
-    * 64-bit simhash. Returns candidate pairs with hamming distance. */
+  /** SimHash near-dup buckets: docs sharing any of 8 x 8-bit bands of
+    * their 64-bit simhash (8 bands keep bucket populations bounded at
+    * scale far better than 4 x 16-bit: pigeonhole guarantees candidate
+    * recall for hamming <= 7). Returns candidate pairs with
+    * hamming distance; buckets over `maxBucketSize` are skipped. */
   def simhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 8): DataFrame = {
+      maxHamming: Int = 8, maxBucketSize: Int = 1000): DataFrame = {
     val sig = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
-    val banded = sig.select(col("id"), col("sh"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"), shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
+    val banded0 = sig.select(col("id"), col("sh"),
+      explode(array((0 until 8).map(b =>
+        struct(lit(b).as("band"), shiftrightunsigned(col("sh"), b * 8).bitwiseAND(lit(0xffL)).as("key"))): _*)).as("bk"))
       .select(col("id"), col("sh"), col("bk.band"), col("bk.key"))
+    val banded = capBuckets(banded0, Seq("band", "key"), maxBucketSize)
     banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
           col("l.id") < col("r.id"))
@@ -118,7 +140,8 @@ object Dedup {
   /** Embedding-cosine near-duplicate pairs over an LSH bucketing by
     * random-hyperplane signs (cheap, deterministic). */
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-      planes: Int = 12, minCosine: Double = 0.95): DataFrame = {
+      planes: Int = 12, minCosine: Double = 0.95,
+      maxBucketSize: Int = 1000): DataFrame = {
     val v = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     // deterministic pseudo-hyperplanes: sign of sum_i v[i]*w_p[i],
     // w_p[i] = hash-derived in {-1,1}
@@ -130,7 +153,7 @@ object Dedup {
       when(prods >= 0, lit(1)).otherwise(lit(0))
     }
     val sigExpr = (0 until planes).map(p => sgn(p) * (1 << p)).reduce(_ + _)
-    val sig = v.withColumn("bucket", sigExpr)
+    val sig = capBuckets(v.withColumn("bucket", sigExpr), Seq("bucket"), maxBucketSize)
     sig.as("l").join(sig.as("r"),
         col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id1"), col("r.id").as("id2"),

@@ -58,6 +58,24 @@ object StoreQuery {
         (col("doc_id") =!= col("__first.doc_id")).as("is_duplicate_of_archetype"))
   }
 
+  /** The graph map (`GenerateGraphMap.java:40-90`): every stored URL ->
+    * dense node id, where non-duplicate docs (archetypes) get their own
+    * node and duplicates map to their archetype's node. Node ids are
+    * dense ranks of the archetypes in store order (round, doc_id),
+    * assigned with the deterministic bucketed two-phase rank (round is a
+    * monotone prefix of the order — no global window, no sampling). */
+  def graphMap(docs: DataFrame): DataFrame = {
+    val arch = docs.where(!col("is_duplicate"))
+      .select(col("round"), col("doc_id"), col("digest"))
+    val (ranked, _) = graft.frontier.Sieve.assignSeq(
+      arch, Seq("round", "doc_id"), startSeq = -1L, bucket = col("round"))
+    val nodes = ranked.select(col("digest"), col("doc_id").as("archetype_url"),
+      col("seq").as("node"))
+    docs.select(col("doc_id").as("url"), col("digest"))
+      .join(nodes, Seq("digest"))
+      .select(col("url"), col("node"), col("archetype_url"))
+  }
+
   /** URLs stored more than once across the crawl
     * (`BuildRepetitionSet.java:30-38`). */
   def repetitionSet(docs: DataFrame): DataFrame =

@@ -93,16 +93,17 @@ object FilterDsl {
       if (i == start) throw new IllegalArgumentException(s"filter parse error: expected name at $start in: $s")
       s.substring(start, i)
     }
-    /** Raw args up to the matching ')' (no nested parens in args,
-      * per the reference grammar). */
-    def args(): Array[String] = {
+    /** Raw argument text up to the matching ')' (no nested parens in args,
+      * per the reference grammar). Splitting on ',' is up to each atom —
+      * regex atoms take the raw text so `a{1,2}` survives intact. */
+    def args(): String = {
       expect('(')
       val start = i
       while (i < s.length && s.charAt(i) != ')') i += 1
       if (i >= s.length) throw new IllegalArgumentException(s"filter parse error: unclosed args in: $s")
       val raw = s.substring(start, i)
       i += 1
-      if (raw.trim.isEmpty) Array.empty else raw.split(",").map(_.trim)
+      raw.trim
     }
     private def isIdentChar(c: Char): Boolean = c.isLetterOrDigit || c == '_' || c == '.'
   }
@@ -146,22 +147,26 @@ object FilterDsl {
 
   // ---------------- atom registry (reference Filters.java:44-52) ----------------
 
-  private def atom(name: String, args: Array[String], ctx: FilterContext): Column = {
+  private def atom(name: String, raw: String, ctx: FilterContext): Column = {
     import graft.functions.duplicate_segments_lt
-    def a0: String = args.headOption.getOrElse(
-      throw new IllegalArgumentException(s"$name requires an argument"))
+    def a0: String = {
+      if (raw.isEmpty) throw new IllegalArgumentException(s"$name requires an argument")
+      raw
+    }
+    def list: Array[String] = raw.split(",").map(_.trim).filter(_.nonEmpty)
     name match {
       case "SchemeEquals" => ctx.get("scheme", ctx.scheme) === a0
       case "HostEquals" => ctx.get("host", ctx.host) === a0
       case "HostEndsWith" => ctx.get("host", ctx.host).endsWith(a0)
       case "HostEndsWithOneOf" =>
-        args.map(s => ctx.get("host", ctx.host).endsWith(s)).reduce(_ || _)
+        list.map(s => ctx.get("host", ctx.host).endsWith(s)).reduce(_ || _)
       case "PathEndsWithOneOf" =>
         // reference lowercases the raw path before the suffix test
-        args.map(s => lower(ctx.get("path", ctx.path)).endsWith(s.toLowerCase)).reduce(_ || _)
+        list.map(s => lower(ctx.get("path", ctx.path)).endsWith(s.toLowerCase)).reduce(_ || _)
       case "URLMatchesRegex" =>
-        // reference uses full-match semantics (URLMatchesRegex.java:54-56)
-        ctx.get("url", ctx.url).rlike("^(?:" + args.mkString(",") + ")$")
+        // reference uses full-match semantics (URLMatchesRegex.java:54-56);
+        // the RAW argument text is the regex (commas/braces intact)
+        ctx.get("url", ctx.url).rlike("^(?:" + raw + ")$")
       case "URLEquals" =>
         // reference bug: compares the URI to itself, always true
         // (URLEquals.java:47-49). Implemented correctly; divergence noted.
@@ -178,7 +183,7 @@ object FilterDsl {
         // IsProbablyBinary.java:49-60 — no raw bytes in the span model)
         length(ctx.get("text", ctx.text)) === 0
       case "ResponseMatches" =>
-        ctx.get("text", ctx.text).rlike("^(?s:" + args.mkString(",") + ")$")
+        ctx.get("text", ctx.text).rlike("^(?s:" + raw + ")$")
       case "SameHost" => ctx.get("srcHost", ctx.srcHost) === ctx.get("dstHost", ctx.dstHost)
       case "DigestEquals" => ctx.get("digest", ctx.digest) === a0
       case "IsHttpResponse" => ctx.get("isHttpResponse", ctx.isHttpResponse)

@@ -1,13 +1,20 @@
 package graft.frontier
 
-import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{Burl, FilterDsl, Robots}
 import graft.functions._
 import graft.model._
+import graft.parse.HtmlParser
 import graft.synth.SyntheticWeb
+
+/** Per-exception-class scheduling rule (reference per-class tables,
+  * `ParsingThread.java:75-116`): `wait` in virtual rounds (backoff is
+  * `wait << retries`), `maxRetries` before the URL is dropped, `killer`
+  * = exhausting retries purges the whole host. */
+case class ExcRule(waitRounds: Long, maxRetries: Int, killer: Boolean)
 
 /** Crawl configuration. Politeness delays are in *virtual rounds*: the
   * reference's wall-clock `schemeAuthorityDelay`/`ipDelay`
@@ -22,35 +29,68 @@ case class CrawlConfig(
     ipDelay: Long = 1,
     /** keep-alive burst: URLs fetched per host per round (FetchingThread.java:298,390) */
     burst: Int = 1,
+    /** per-host head-window slack beyond `burst`: robots-disallowed /
+      * fetch-filtered URLs among the first `burst + headSlack` heads are
+      * skipped within the same round (the reference skips them one at a
+      * time at the queue head); a pathological host with more consecutive
+      * disallowed heads defers the rest to later rounds */
+    headSlack: Int = 8,
     /** per-host URL budget (maxUrlsPerSchemeAuthority, Frontier.java:615-618) */
     maxUrlsPerHost: Long = Long.MaxValue,
     maxRounds: Int = 8,
-    /** schedule filter DSL applied to outlinks (StartupConfiguration.java:182-184) */
+    /** schedule filter DSL applied per outlink (StartupConfiguration.java:182-184);
+      * media refs (.jpg) are excluded from scheduling like the reference's
+      * stock configs do */
     scheduleFilter: String =
-      "( SchemeEquals(http) or SchemeEquals(https) ) and URLShorterThan(2048) and DuplicateSegmentsLessThan(3)",
+      "( SchemeEquals(http) or SchemeEquals(https) ) and URLShorterThan(2048) " +
+        "and DuplicateSegmentsLessThan(3) and not PathEndsWithOneOf(.jpg)",
     /** fetch filter DSL applied to URLs about to be fetched
       * (FetchingThread.java:300-303); failing URLs are discarded */
     fetchFilter: String = "true",
+    /** parse filter: responses failing it are not parsed — binary digest,
+      * no links, no spans (ParsingThread.java:359) */
+    parseFilter: String = "true",
+    /** follow filter: responses failing it contribute no outlinks
+      * (ParsingThread.java:343 NULL_LINK_RECEIVER) */
+    followFilter: String = "true",
+    /** store filter: responses failing it are not written to the docs
+      * store (ParsingThread.java:398) */
+    storeFilter: String = "true",
     /** blacklisted hosts, dropped at enqueue time before the sieve
       * (FrontierEnqueuer / blacklist gates, ParsingThread.java:186-195) */
     blacklistHosts: Seq[String] = Nil,
-    /** transient-error backoff: next_fetch = now + retryDelay * 2^retries;
-      * past maxRetries the host is purged (ParsingThread.java:75-116,276-312) */
-    retryDelay: Long = 1,
-    maxRetries: Int = 4,
+    /** blacklisted synthetic IP ids (ip_of_host space) — the reference's
+      * IP blacklist (FetchingThread.java:310-347, DNSThread.java:81-93) */
+    blacklistIps: Seq[Long] = Nil,
+    /** per-exception-class wait/retry/killer tables (ParsingThread.java:75-116) */
+    exceptionRules: Map[String, ExcRule] = Map(
+      "socket_timeout" -> ExcRule(waitRounds = 1, maxRetries = 4, killer = false),
+      "connection_closed" -> ExcRule(waitRounds = 1, maxRetries = 2, killer = false),
+      "unknown_host" -> ExcRule(waitRounds = 2, maxRetries = 1, killer = true),
+      "ssl_unverified" -> ExcRule(waitRounds = 1, maxRetries = 0, killer = true)),
+    /** rule for exception classes absent from `exceptionRules` (the
+      * reference's defaultReturnValue: 1h wait, 5 retries, non-killer) */
+    exceptionDefault: ExcRule = ExcRule(waitRounds = 1, maxRetries = 3, killer = false),
     /** body truncation (responseBodyMaxByteSize, FetchData.java:313,331-332):
-      * text spans are cut at this many cumulative chars, truncated flag set */
+      * the raw markup is cut at this many chars BEFORE parsing (the
+      * reference truncates the response stream) */
     maxBodyChars: Int = Int.MaxValue,
+    /** adaptive front sizing (Frontier.java:824-835): at most this many
+      * IPs in flight per round, doubled whenever a round saturates it;
+      * Long.MaxValue = unbounded (the saturation-benchmark setting) */
+    initialFrontSize: Long = Long.MaxValue,
+    frontGrowth: Int = 2,
     /** false = hosts start with robotsDone (benchmark mode) */
     robotsEnabled: Boolean = true,
-    /** false = skip the docs/digests store writes (frontier-only benchmark:
-      * the north metric is URLs scheduled+deduped/sec; the store is the
-      * WARC-sink side) */
+    /** false = skip the docs/digests store writes AND the duplicate-page
+      * link gate (frontier-only benchmark; the north metric is URLs
+      * scheduled+deduped/sec — the store is the WARC-sink side) */
     storeDocs: Boolean = true,
     useBloom: Boolean = true,
-    bloomFpp: Double = 0.01,
-    /** fixed bloom capacity so per-round blooms are mergeable (the
-      * "broadcast-refreshed" filter is extended, not rebuilt, each round) */
+    bloomFpp: Double = 0.03,
+    /** consolidate the per-round delta blooms into one full filter built
+      * distributed from the seen table once this many deltas accumulate */
+    bloomMaxDeltas: Int = 12,
     bloomExpected: Long = 4L << 20,
     /** below this seen-size the bloom prefilter is skipped (anti-join alone
       * is cheaper than building + broadcasting the filter) */
@@ -60,26 +100,20 @@ case class CrawlConfig(
     probeThreshold: Long = 2L << 20,
     ipSpace: Long = 1L << 20,
     /** state-snapshot cadence in rounds (1 = commit every round, the
-      * Iceberg per-round-commit analog; larger values trade recovery
-      * granularity for fewer write barriers — rounds between snapshots
-      * re-execute deterministically on resume) */
+      * Iceberg per-round-commit analog) */
     checkpointEvery: Int = 1,
     /** shuffle/write parallelism for the state tables */
     statePartitions: Int = 32,
     /** compact the frontier (drop tombstoned rows) once this many
-      * tombstones accumulate — the BUbiNG virtualizer-GC / Iceberg
-      * merge-on-read analog (WorkbenchVirtualizer.java:132-143) */
+      * tombstones accumulate (WorkbenchVirtualizer.java:132-143 GC analog) */
     tombstoneCompactRows: Long = 2L << 20,
-    /** print per-round wall times (bench diagnostics) */
     logRounds: Boolean = false,
-    /** storage level for in-memory state blocks between snapshots;
-      * DISK_ONLY + spark.local.dir on tmpfs keeps the (large) frontier/seen
-      * blocks out of the JVM heap — GC pressure, not CPU, is the local-mode
-      * scaling limiter otherwise */
+    /** storage level for in-memory state blocks between snapshots */
     stateStorage: String = "MEMORY_AND_DISK")
 
-/** One URL selected for fetching this round. `attempt` = the host's current
-  * retry count (drives the deterministic transient-failure model). */
+/** One URL selected for fetching this round. `attempt` = how many times
+  * this host's current problem has been attempted (0 when the host is
+  * clean) — drives the deterministic failure model. */
 case class FetchUnit(
     url: String,
     schemeAuthority: String,
@@ -98,33 +132,43 @@ case class FetchUnit(
   *
   * One round =
   * {{{
-  *   eligible = frontier ⋈ hosts ⋈ ips  (politeness windows, rank-1 per IP)
-  *   fetched  = eligible.map(syntheticFetch)            // typed Dataset map
-  *   parsed   = fetched -> spans, links, digest
-  *   newUrls  = links |> scheduleFilter |> burl_parse |> sieve (anti-join,
-  *              first-enqueue order) |> budget check
-  *   state'   = append/update snapshot tables
+  *   heads    = frontier.groupBy(hostHash).agg(topk_heads(k'))   // ONE pass,
+  *              // partial-agg: shuffle = k' narrow rows per host, no sort
+  *   selected = hosts ⋈ heads ⋈ ips  (politeness windows, rank-1 per IP,
+  *              adaptive front cap)
+  *   fetched  = selected heads -> render+parse HTML (typed Dataset map:
+  *              HtmlParser links/spans/digest), exception state machine
+  *   newUrls  = links |> scheduleFilter |> sieve (bloom + anti-join,
+  *              first-enqueue order) |> budget
+  *   state'   = append frontier delta; tombstone consumed rows; update
+  *              hosts/ips via broadcast of the per-round host aggregate
   * }}}
   *
-  * State layout under `workDir` (the Iceberg-snapshot analog; with Iceberg
-  * on the cluster the snapshot dirs become table snapshots and the
-  * append dirs become append commits):
+  * Per-round cost: one linear scan of the frontier (the heads
+  * aggregation — CPU-parallel, shuffle ∝ hosts·k') plus work ∝ the
+  * selected burst and the new-link batch. No full-frontier sort, window,
+  * or join-back remains on the round path.
+  *
+  * State layout under `workDir` (the Iceberg-snapshot analog):
   * {{{
-  *   state/round=N/{frontier,hosts,ips,robots,scalars}   (every checkpointEvery rounds)
+  *   state/round=N/{frontier,hosts,ips,scalars}          (snapshots)
   *   seen/round=N, docs/round=N, digests/round=N,
-  *   trace/round=N, metrics/round=N                      (append-only, every round)
+  *   trace/round=N, metrics/round=N                      (append-only)
   * }}}
   * Between snapshots the state tables are threaded in memory
-  * (`localCheckpoint` truncates lineage without a parquet round-trip);
-  * `run()` resumes from the last complete snapshot and deterministically
-  * re-executes any rounds after it.
+  * (`localCheckpoint` truncates lineage); `run()` resumes from the last
+  * complete snapshot and deterministically re-executes rounds after it.
   */
 class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
   import spark.implicits._
 
+  // TopKHeads is a TypedImperativeAggregate: keep it hash-based up to a
+  // sane number of distinct hosts per partition, then let it fall back to
+  // the memory-safe in-partition sort-based aggregation (the default
+  // threshold of 128 keys would force the sort fallback immediately)
+  spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
+
   private val stateLevel = org.apache.spark.storage.StorageLevel.fromString(cfg.stateStorage)
-  /** localCheckpoint at the configured storage level: materialize + truncate
-    * lineage for state threaded between rounds. */
   private def lc(df: DataFrame): DataFrame = df.localCheckpoint(true, stateLevel)
 
   private val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -136,14 +180,20 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
   private def exists(path: String): Boolean =
     fs.exists(new org.apache.hadoop.fs.Path(path))
 
+  /** heads window size: burst + slack for same-round robots/fetch-filter
+    * skips at the queue head */
+  private val kHeads = math.max(1, cfg.burst + cfg.headSlack)
+
+  private val gatesTrivial =
+    cfg.parseFilter == "true" && cfg.followFilter == "true" && cfg.storeFilter == "true"
+
   /** In-memory state threaded between rounds (lineage truncated via
     * localCheckpoint); rebuilt from the last parquet snapshot on resume. */
-  private case class LiveState(round: Int, maxSeq: Long, frontier: DataFrame,
-      hosts: DataFrame, ips: DataFrame, robots: DataFrame,
+  private case class LiveState(round: Int, maxSeq: Long, frontSize: Long,
+      frontier: DataFrame, hosts: DataFrame, ips: DataFrame,
       seen: DataFrame, digests: DataFrame,
       /** append-only frontier: fetched/dropped rows are tombstoned by hash
-        * and physically removed only at compaction/snapshot (the
-        * virtualizer-log + GC-by-compaction-ratio analog, SURVEY.md §4 P5) */
+        * and physically removed only at compaction/snapshot */
       tombstones: DataFrame, pendingRows: Long, tombRows: Long)
   private var live: Option[LiveState] = None
 
@@ -154,7 +204,6 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
     val seeds = (0 until cfg.nSeeds)
       .map(i => (SyntheticWeb.seedUrl(i, cfg.web), i)) // explicit seed-list order
       .toDF("spec", "linkIdx")
-    // Seeds come as an ordered list; normalize exactly like enqueue does.
     val candidates = seeds
       .withColumn("url", burl_parse(col("spec")))
       .where(col("url").isNotNull)
@@ -163,79 +212,74 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
       .select("url", "urlHash", "parentSeq", "linkIdx")
 
     val emptySeen = spark.emptyDataset[Long].toDF("urlHash")
-    val newUrls = Sieve.assignSeq(
-      Sieve.newUrls(candidates, emptySeen, Seq("parentSeq", "linkIdx")),
-      Seq("parentSeq", "linkIdx"), startSeq = -1L) // seqs from 0
+    val parts = math.max(1, cfg.statePartitions)
+    val (newUrls, _) = Sieve.assignSeq(
+      Sieve.newUrls(candidates, emptySeen, Seq("parentSeq", "linkIdx")).transform(lc),
+      Seq("parentSeq", "linkIdx"), startSeq = -1L, // seqs from 0
+      Sieve.linearBuckets(col("linkIdx"), 0, cfg.nSeeds - 1L, parts))
 
-    val frontier = toFrontier(newUrls, round = 0).transform(lc)
+    val frontier = toFrontier(newUrls).transform(lc)
     frontier.select("urlHash").write.mode(SaveMode.Overwrite).parquet(appendDir("seen", 0))
     val hosts = newHostsFrom(frontier, emptyHosts).transform(lc)
     val ips = newIpsFrom(frontier, emptyIps).transform(lc)
-    val robots = emptyRobots
     val maxSeq = frontier.count()
-    writeState(0, frontier, hosts, ips, robots, maxSeq)
-    live = Some(LiveState(0, maxSeq, frontier, hosts, ips, robots,
+    writeState(0, frontier, hosts, ips, maxSeq, cfg.initialFrontSize)
+    live = Some(LiveState(0, maxSeq, cfg.initialFrontSize, frontier, hosts, ips,
       frontier.select("urlHash").transform(lc), emptyDigests,
       emptyTombstones, pendingRows = maxSeq, tombRows = 0L))
   }
 
   private def emptyHosts = spark.emptyDataset[HostState].toDF
   private def emptyIps = spark.emptyDataset[IpState].toDF
-  private def emptyRobots = spark.emptyDataset[RobotsEntry].toDF
   private def emptyDigests = Seq.empty[String].toDF("digest")
   private def emptyTombstones = Seq.empty[Long].toDF("urlHash")
 
-  private def toFrontier(newUrls: DataFrame, round: Int): DataFrame =
-    newUrls
-      .withColumn("schemeAuthority", burl_scheme_authority(col("url")))
-      .withColumn("pathQuery", burl_path_query(col("url")))
-      .withColumn("host", burl_host(col("url")))
-      .withColumn("hostHash", murmur64(col("host")))
-      .withColumn("ipHash", ip_of_host(col("host"), cfg.ipSpace))
-      .withColumn("round", lit(round))
-      .select("url", "schemeAuthority", "pathQuery", "host", "urlHash",
-        "hostHash", "ipHash", "seq", "round")
+  /** Narrow frontier row: url + hashes + seq (hostHash keys the visit
+    * state = murmur64(schemeAuthority), BubingJob.java:47-52). */
+  private def toFrontier(newUrls: DataFrame): DataFrame =
+    newUrls.select(
+      col("url"),
+      col("urlHash"),
+      murmur64(burl_scheme_authority(col("url"))).as("hostHash"),
+      ip_of_host(burl_host(col("url")), cfg.ipSpace).as("ipHash"),
+      col("seq"))
 
-  private def newHostsFrom(frontier: DataFrame, hosts: DataFrame): DataFrame =
-    frontier.groupBy("schemeAuthority")
-      .agg(first("hostHash").as("hostHash"), first("ipHash").as("ipHash"))
-      .join(hosts.select("schemeAuthority"), Seq("schemeAuthority"), "left_anti")
-      .withColumn("nextFetch", lit(0L))
-      .withColumn("stored", lit(0L))
-      .withColumn("robotsDone", lit(!cfg.robotsEnabled))
-      .withColumn("purged", lit(false))
-      .withColumn("retries", lit(0))
-      .withColumn("lastError", lit(null).cast("string"))
-      .select("schemeAuthority", "hostHash", "ipHash", "nextFetch", "stored",
-        "robotsDone", "purged", "retries", "lastError")
+  private def newHostsFrom(frontierDelta: DataFrame, hosts: DataFrame): DataFrame =
+    frontierDelta.groupBy("hostHash")
+      .agg(min("url").as("__u"), first("ipHash").as("ipHash"))
+      .join(hosts.select("hostHash"), Seq("hostHash"), "left_anti")
+      .select(
+        burl_scheme_authority(col("__u")).as("schemeAuthority"),
+        col("hostHash"), col("ipHash"),
+        lit(0L).as("nextFetch"), lit(0L).as("stored"),
+        lit(!cfg.robotsEnabled).as("robotsDone"), lit(false).as("purged"),
+        lit(0).as("retries"), lit(null).cast("string").as("lastError"),
+        lit(null).cast("array<string>").as("robotsPrefixes"))
 
-  private def newIpsFrom(frontier: DataFrame, ips: DataFrame): DataFrame =
-    frontier.select("ipHash").distinct()
+  private def newIpsFrom(frontierDelta: DataFrame, ips: DataFrame): DataFrame =
+    frontierDelta.select("ipHash").distinct()
       .join(ips.select("ipHash"), Seq("ipHash"), "left_anti")
       .withColumn("nextFetch", lit(0L))
       .select("ipHash", "nextFetch")
 
   private def writeState(round: Int, frontier: DataFrame, hosts: DataFrame,
-      ips: DataFrame, robots: DataFrame, maxSeq: Long): Unit = {
+      ips: DataFrame, maxSeq: Long, frontSize: Long): Unit = {
     // Frontier and hosts are laid out by hostHash — the reference's
     // agent-assignment function (BubingJob.java:47-52); at cluster scale
     // this becomes Iceberg bucket partitioning so the per-round
-    // frontier⋈hosts join is co-partitioned (SURVEY.md §4).
+    // frontier/hosts joins are co-partitioned (SURVEY.md §4).
     frontier.repartition(cfg.statePartitions, col("hostHash"))
       .write.mode(SaveMode.Overwrite).parquet(stateDir(round, "frontier"))
     hosts.repartition(math.max(1, cfg.statePartitions / 4), col("hostHash"))
       .write.mode(SaveMode.Overwrite).parquet(stateDir(round, "hosts"))
     ips.repartition(math.max(1, cfg.statePartitions / 4), col("ipHash"))
       .write.mode(SaveMode.Overwrite).parquet(stateDir(round, "ips"))
-    robots.repartition(math.max(1, cfg.statePartitions / 4))
-      .write.mode(SaveMode.Overwrite).parquet(stateDir(round, "robots"))
-    Seq((maxSeq, round)).toDF("maxSeq", "round")
+    Seq((maxSeq, round, frontSize)).toDF("maxSeq", "round", "frontSize")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(stateDir(round, "scalars"))
   }
 
-  /** Append-only tables are laid out as round=N partition dirs: one
-    * partition-discovering scan + pruning filter, not a union of reads
-    * (the Iceberg-append analog). */
+  /** Append-only tables are round=N partition dirs: one partition-
+    * discovering scan with pruning, not a union of per-round reads. */
   private def readSeen(uptoRound: Int): DataFrame =
     spark.read.parquet(s"$workDir/seen")
       .where(col("round") <= uptoRound).select("urlHash")
@@ -247,52 +291,52 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
   }
 
   private def loadState(round: Int): LiveState = {
-    val maxSeq = spark.read.parquet(stateDir(round, "scalars"))
-      .collect()(0).getAs[Long]("maxSeq")
+    val sc = spark.read.parquet(stateDir(round, "scalars")).collect()(0)
+    val maxSeq = sc.getAs[Long]("maxSeq")
+    val frontSize = sc.getAs[Long]("frontSize")
     val frontier = spark.read.parquet(stateDir(round, "frontier"))
-    LiveState(round, maxSeq, frontier,
+    LiveState(round, maxSeq, frontSize, frontier,
       spark.read.parquet(stateDir(round, "hosts")),
       spark.read.parquet(stateDir(round, "ips")),
-      spark.read.parquet(stateDir(round, "robots")),
       readSeen(round), readDigests(round),
       emptyTombstones, pendingRows = frontier.count(), tombRows = 0L)
   }
 
-  /** Incrementally-maintained broadcast bloom over the seen set: merged
-    * with each round's (small) new-hash bloom instead of rebuilt from the
-    * full table (north_rule "broadcast-refreshed bloom URL-seen set").
-    * Fixed capacity keeps the filters mergeable. */
-  private var bloomCache: Option[(Int, org.apache.spark.util.sketch.BloomFilter)] = None
+  // ---------------- bloom bank (broadcast-refreshed URL-seen filter) ----------------
 
-  private def seenBloom(state: LiveState): Option[org.apache.spark.util.sketch.BloomFilter] = {
-    if (!cfg.useBloom) return None
-    bloomCache match {
-      case Some((r, bf)) if r == state.round => Some(bf)
-      case Some((r, bf)) if r < state.round =>
-        // extend with the per-round hash deltas directly on the driver: a
-        // delta is |new urls| longs (MBs), vs a full-capacity distributed
-        // bloom build whose bitset merges would dwarf the data. (At cluster
-        // scale with 10^8-row deltas this flips back to a distributed
-        // delta-bloom + mergeInPlace.)
-        for (rr <- r + 1 to state.round; if exists(appendDir("seen", rr))) {
-          import spark.implicits._
-          spark.read.parquet(appendDir("seen", rr))
-            .select("urlHash").as[Long].collect().foreach(bf.putLong)
-        }
-        bloomCache = Some((state.round, bf))
-        Some(bf)
-      case _ =>
-        if (state.maxSeq < cfg.bloomMinSeen) None // anti-join alone is cheaper
-        else {
-          val bf = state.seen.stat.bloomFilter("urlHash", cfg.bloomExpected, cfg.bloomFpp)
-          bloomCache = Some((state.round, bf))
-          Some(bf)
-        }
+  /** Per-round delta blooms, each built DISTRIBUTED over that round's
+    * (small) new-hash delta; consolidated into one full-capacity filter
+    * (again distributed, from the seen table) every `bloomMaxDeltas`
+    * rounds. No driver-side row collection anywhere (north_rule
+    * "broadcast-refreshed bloom URL-seen set"). */
+  private var bloomBank: Vector[org.apache.spark.util.sketch.BloomFilter] = Vector.empty
+  private var bloomRound: Int = -1
+
+  private def bloomFilters(state: LiveState): Seq[org.apache.spark.util.sketch.BloomFilter] = {
+    if (!cfg.useBloom || state.maxSeq < cfg.bloomMinSeen) return Nil
+    if (bloomRound != state.round || bloomBank.isEmpty) {
+      // cold start / resume: one consolidated filter from the seen table
+      bloomBank = Vector(state.seen.stat.bloomFilter("urlHash",
+        math.max(cfg.bloomExpected, 1L), cfg.bloomFpp))
+      bloomRound = state.round
     }
+    bloomBank
   }
 
-  /** Max round=N child of a dir (snapshots can be sparse under
-    * checkpointEvery > 1; wait rounds have no appends). */
+  /** Record this round's delta bloom (built distributed from the
+    * materialized sieve output) and consolidate when the bank is long. */
+  private def extendBloom(state: LiveState, delta: DataFrame, deltaRows: Long,
+      round: Int): Unit = {
+    if (!cfg.useBloom) return
+    if (bloomRound >= 0 && bloomBank.nonEmpty) {
+      if (deltaRows > 0)
+        bloomBank :+= delta.stat.bloomFilter("urlHash",
+          math.max(deltaRows, 1024L), cfg.bloomFpp)
+      if (bloomBank.size > cfg.bloomMaxDeltas) bloomBank = Vector.empty // rebuild next round
+    }
+    bloomRound = round
+  }
+
   private def maxRoundIn(dir: String, complete: String => Boolean): Int = {
     if (!exists(dir)) return -1
     fs.listStatus(new org.apache.hadoop.fs.Path(dir))
@@ -310,277 +354,405 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
   private def lastAppendRound(): Int =
     math.max(maxRoundIn(s"$workDir/trace", _ => true), lastCompleteRound())
 
+  // ---------------- per-class exception rule columns ----------------
+
+  private def ruleCol(c: Column, f: ExcRule => Long): Column =
+    cfg.exceptionRules.foldLeft(lit(f(cfg.exceptionDefault))) {
+      case (acc, (name, rule)) => when(c === name, lit(f(rule))).otherwise(acc)
+    }
+  private def killerCol(c: Column): Column =
+    cfg.exceptionRules.foldLeft(lit(cfg.exceptionDefault.killer)) {
+      case (acc, (name, rule)) => when(c === name, lit(rule.killer)).otherwise(acc)
+    }
+
   // ---------------- one round ----------------
 
   /** Execute round `round` (state `round-1` from memory or snapshot).
-    * Returns the number of URLs fetched. */
+    * Returns the number of fetch attempts. */
   def runRound(round: Int): Long = {
     val prev = round - 1
     val st = live.filter(_.round == prev).getOrElse(loadState(prev))
     // pending view: append-only frontier minus tombstoned (fetched/dropped)
-    // rows; the broadcast anti-join is a scan-side filter, no frontier
-    // shuffle (compaction keeps the tombstone set small)
+    // rows; broadcast anti-join = scan-side filter, no frontier shuffle
     val frontier =
       if (st.tombRows == 0) st.frontier
       else st.frontier.join(broadcast(st.tombstones), Seq("urlHash"), "left_anti")
     val hosts = st.hosts
     val ips = st.ips
-    val robots = st.robots
     val seen = st.seen
     val maxSeq = st.maxSeq
     val now = round.toLong
 
-    // --- politeness selection (SURVEY.md §2.5 window-ranked workbench) ---
-    // host priority = earliest pending seq (FIFO per host,
-    // VisitState.java:284-304); the ONE full frontier aggregation per round
-    // (map-side partial agg shrinks the shuffle to #hosts), which also
-    // serves as the has-pending-work filter via the inner join below.
-    val hostPriority = frontier.groupBy("schemeAuthority").agg(min("seq").as("priority"))
+    // --- politeness selection (SURVEY.md §2.5 workbench) ---
+    // ONE pass over the frontier: per-host head window (k' smallest seqs)
+    // via hash aggregation with map-side combine — the shuffle carries at
+    // most k' narrow rows per host per partition; no window sort, no
+    // full-frontier ordering. Priority = head seq (FIFO per host,
+    // VisitState.java:284-304); the inner join doubles as the
+    // has-pending-work filter.
+    val heads = frontier.groupBy("hostHash")
+      .agg(topk_heads(col("seq"), col("url"), col("urlHash"), kHeads).as("heads"))
 
-    // one host per IP per round (WorkbenchEntry: one VisitState per entry in
-    // flight; ParsingThread.java:271-274): rank-1 per ipHash window
     val ipReady = ips.where(col("nextFetch") <= now).select("ipHash")
-    val wIp = Window.partitionBy("ipHash").orderBy(col("priority"), col("schemeAuthority"))
-    val selectedHosts = hosts
+    val eligible = hosts
       .where(!col("purged") && col("nextFetch") <= now)
-      .join(hostPriority, Seq("schemeAuthority")) // inner: only hosts with pending work
+      .join(heads, Seq("hostHash")) // inner: only hosts with pending work
       .join(ipReady, Seq("ipHash"), "left_semi")
-      .withColumn("__r", row_number().over(wIp))
-      .where(col("__r") === 1)
-      .drop("__r", "priority")
+      .withColumn("priority", element_at(col("heads"), 1).getField("seq"))
+    // one host per IP per round (one VisitState in flight per
+    // WorkbenchEntry, ParsingThread.java:271-274); priority (= a seq) is
+    // globally unique, so the rank-1 choice is total without tiebreaks
+    val wIp = Window.partitionBy("ipHash").orderBy("priority")
+    val rank1 = eligible
+      .withColumn("__r", row_number().over(wIp)).where(col("__r") === 1).drop("__r")
+    // adaptive front sizing (Frontier.java:824-835): cap the in-flight IP
+    // set; grown in the commit phase when a round saturates it
+    val frontActive = st.frontSize < Long.MaxValue
+    // cached: the selection pipeline (heads agg + rank-1) feeds both the
+    // robots and the page branch — without the cache the frontier
+    // aggregation would execute once per branch
+    val selected =
+      (if (frontActive)
+        rank1.orderBy("priority").limit(math.min(st.frontSize, Int.MaxValue.toLong).toInt)
+      else rank1).cache()
 
-    // robots.txt jumps the host queue (VisitState.java:193-216): hosts with
-    // robots not yet fetched spend their slot on robots.txt.
-    val robotsHosts = selectedHosts.where(!col("robotsDone"))
-    val pageHosts = selectedHosts.where(col("robotsDone"))
+    // robots.txt jumps the host queue (VisitState.java:193-216)
+    val attemptCol =
+      when(col("lastError").isNull, lit(0)).otherwise(col("retries") + 1).as("attempt")
+    val robotsHosts = selected.where(!col("robotsDone"))
+    val pageHosts = selected.where(col("robotsDone"))
 
-    val robotsUnits = robotsHosts
-      .select(
-        concat(col("schemeAuthority"), lit("/robots.txt")).as("url"),
-        col("schemeAuthority"),
-        burl_host(col("schemeAuthority")).as("host"),
-        lit("/robots.txt").as("pathQuery"),
-        murmur64(concat(col("schemeAuthority"), lit("/robots.txt"))).as("urlHash"),
-        col("hostHash"), col("ipHash"),
-        lit(-1L).as("seq"),
-        lit(true).as("isRobots"),
-        col("retries").as("attempt"))
+    val robotsUnits = robotsHosts.select(
+      concat(col("schemeAuthority"), lit("/robots.txt")).as("url"),
+      col("schemeAuthority"),
+      burl_host(col("schemeAuthority")).as("host"),
+      lit("/robots.txt").as("pathQuery"),
+      murmur64(concat(col("schemeAuthority"), lit("/robots.txt"))).as("urlHash"),
+      col("hostHash"), col("ipHash"),
+      lit(-1L).as("seq"),
+      lit(true).as("isRobots"),
+      attemptCol)
 
-    // pending URLs of selected page-hosts, robots- and fetch-filtered,
-    // top-`burst` by seq (salted two-phase rank: a heavy host's queue never
-    // lands in a single window partition, P13)
+    // head-window fetch gate: robots prefixes (riding on the host row — no
+    // robots join) + fetchFilter; disallowed heads are dropped in-round,
+    // first `burst` survivors are fetched. Window partitions are <= k'
+    // rows — no salting needed.
     val fetchable = FilterDsl.compile(cfg.fetchFilter, FilterDsl.urlContext(col("url")))
-    val pendingOfSelected = frontier
-      .join(pageHosts.select("schemeAuthority", "retries"), Seq("schemeAuthority"))
-      .join(robots, Seq("schemeAuthority"), "left")
+    val exploded = pageHosts
+      .select(col("hostHash"), col("schemeAuthority"), col("ipHash"),
+        col("retries"), col("lastError"), col("robotsPrefixes"),
+        explode(col("heads")).as("h"))
+      .select(col("hostHash"), col("schemeAuthority"), col("ipHash"),
+        col("retries"), col("lastError"), col("robotsPrefixes"),
+        col("h.seq").as("seq"), col("h.url").as("url"), col("h.urlHash").as("urlHash"))
+      .withColumn("pathQuery", burl_path_query(col("url")))
+      .withColumn("host", burl_host(col("url")))
       .withColumn("__keep",
-        (when(col("prefixes").isNull, lit(true))
-          .otherwise(respects_robots(col("pathQuery"), col("prefixes")))) && fetchable)
-    val disallowed = pendingOfSelected.where(!col("__keep"))
-      .select("urlHash").cache()
-    val pageUnits = Ranking
-      .topKPerKey(pendingOfSelected.where(col("__keep")), "hostHash",
-        Seq("seq"), cfg.burst, rankCol = "__r")
+        (col("robotsPrefixes").isNull ||
+          respects_robots(col("pathQuery"), col("robotsPrefixes"))) && fetchable)
+      .cache()
+    val disallowed = exploded.where(!col("__keep")).select("urlHash")
+    val wHost = Window.partitionBy("hostHash").orderBy("seq")
+    val pageUnits = exploded.where(col("__keep"))
+      .withColumn("__r", row_number().over(wHost)).where(col("__r") <= cfg.burst)
       .select(col("url"), col("schemeAuthority"), col("host"), col("pathQuery"),
         col("urlHash"), col("hostHash"), col("ipHash"), col("seq"),
-        lit(false).as("isRobots"), col("retries").as("attempt"))
+        lit(false).as("isRobots"), attemptCol)
 
-    // cached: the politeness-selection pipeline feeds fetch, trace, and
-    // parent-seq joins — without the cache it re-executes per consumer
-    val units = robotsUnits.unionByName(pageUnits).as[FetchUnit].cache()
+    val units = robotsUnits.unionByName(pageUnits).as[FetchUnit]
 
-    // --- synthetic fetch + parse (typed Dataset map; pure functions) ---
+    // --- synthetic fetch + REAL parse (typed Dataset map; pure functions):
+    // the page is rendered to markup and run through HtmlParser — links,
+    // spans, and digest come from the markup, as in the reference
+    // ParsingThread -> HTMLParser path ---
     val webCfg = cfg.web
     val maxBody = cfg.maxBodyChars
-    val fetched: Dataset[FetchResult] = units.map { u =>
-      if (u.isRobots) {
-        FetchResult(u.url, u.urlHash, u.schemeAuthority, u.host, u.ipHash, u.seq, 200,
-          isRobots = true, truncated = false, spans = Nil, links = Nil, round = round)
+    val rnd = round
+    val fetched0: Dataset[FetchResult] = units.map { u =>
+      val exc = SyntheticWeb.fetchExceptionAt(u.url, u.attempt, webCfg)
+      if (exc != null) {
+        FetchResult(u.url, u.urlHash, u.schemeAuthority, u.host, u.hostHash, u.ipHash,
+          u.seq, 0, u.isRobots, exc, truncated = false, contentType = null,
+          digest = null, binaryDigest = null, robotsPrefixes = null,
+          spans = Nil, links = Nil, round = rnd)
+      } else if (u.isRobots) {
+        val prefixes = Robots.parse(SyntheticWeb.robotsContent(u.host, webCfg), "graft").toSeq
+        FetchResult(u.url, u.urlHash, u.schemeAuthority, u.host, u.hostHash, u.ipHash,
+          u.seq, 200, isRobots = true, excClass = null, truncated = false,
+          contentType = "text/plain", digest = null, binaryDigest = null,
+          robotsPrefixes = prefixes, spans = Nil, links = Nil, round = rnd)
       } else {
-        val s = SyntheticWeb.statusAt(u.url, u.attempt, webCfg)
-        val rawSpans = if (s == 200) SyntheticWeb.pageSpans(u.url, webCfg) else Nil
-        // body truncation (FetchData.java:313,331-332): cut text spans at
-        // the cumulative char budget
-        var budget = maxBody
-        var truncated = false
-        val spans = rawSpans.takeWhile { sp =>
-          if (truncated) false
-          else {
-            val cost = sp.text.length
-            if (cost <= budget) { budget -= cost; true }
-            else { truncated = true; false }
-          }
+        val status = SyntheticWeb.status(u.url, webCfg)
+        if (status == 200) {
+          val raw = SyntheticWeb.pageHtml(u.url, webCfg)
+          val truncated = raw.length > maxBody
+          val html = if (truncated) raw.substring(0, maxBody) else raw
+          val pr = HtmlParser.parse(u.url, html)
+          val bin = f"${graft.core.MurmurHash3Bubing.hashString(html)}%016x"
+          FetchResult(u.url, u.urlHash, u.schemeAuthority, u.host, u.hostHash, u.ipHash,
+            u.seq, status, isRobots = false, excClass = null, truncated = truncated,
+            contentType = "text/html", digest = pr.digest, binaryDigest = bin,
+            robotsPrefixes = null, spans = pr.spans, links = pr.links, round = rnd)
+        } else {
+          FetchResult(u.url, u.urlHash, u.schemeAuthority, u.host, u.hostHash, u.ipHash,
+            u.seq, status, isRobots = false, excClass = null, truncated = false,
+            contentType = "text/html", digest = null, binaryDigest = null,
+            robotsPrefixes = null, spans = Nil, links = Nil, round = rnd)
         }
-        val links = if (s == 200) SyntheticWeb.successors(u.url, webCfg) else Nil
-        FetchResult(u.url, u.urlHash, u.schemeAuthority, u.host, u.ipHash, u.seq, s,
-          isRobots = false, truncated = truncated, spans = spans, links = links,
-          round = round)
       }
     }.cache()
+
+    // an exception aborts the host's keep-alive burst: results after the
+    // first failing seq are voided (urls stay pending) — the reference
+    // processes a visit state's burst sequentially and stops on error
+    val fetched: DataFrame =
+      if (webCfg.failEvery <= 0) fetched0.toDF
+      else {
+        val failCut = fetched0.toDF.where(col("excClass").isNotNull)
+          .groupBy("hostHash").agg(min("seq").as("__failSeq"))
+        fetched0.toDF.join(broadcast(failCut), Seq("hostHash"), "left")
+          .where(col("__failSeq").isNull || col("seq") <= col("__failSeq"))
+          .drop("__failSeq")
+      }
 
     val fetchedCount = fetched.count()
     if (fetchedCount == 0) {
       // politeness wait: carry state forward, snapshot on cadence
-      val snapped = maybeSnapshot(round, frontier, hosts, ips, robots, maxSeq, force = false)
+      val snapped = maybeSnapshot(round, frontier, hosts, ips, maxSeq, st.frontSize,
+        force = false)
       live = Some(
         if (snapped)
           st.copy(round = round,
             frontier = spark.read.parquet(stateDir(round, "frontier")),
-            tombstones = emptyTombstones, pendingRows = st.pendingRows, tombRows = 0L)
+            tombstones = emptyTombstones, tombRows = 0L)
         else st.copy(round = round))
-      fetched.unpersist(); units.unpersist(); disallowed.unpersist()
+      bloomRound = round
+      fetched0.unpersist(); exploded.unpersist(); selected.unpersist()
       return 0
     }
 
-    // trace: the crawl ordering artifact (round, seq, url). `round` lives
-    // in the round=N directory name (a real partition column), so readers
-    // do ONE partition-discovering scan with pruning — not a union of reads.
-    fetched.toDF
-      .select(col("seq"), col("url"), col("isRobots"), col("status"))
+    // trace: the crawl ordering artifact (round = partition dir; status 0
+    // rows are fetch exceptions with their class)
+    fetched
+      .select(col("seq"), col("url"), col("isRobots"), col("status"), col("excClass"))
       .write.mode(SaveMode.Overwrite).parquet(appendDir("trace", round))
 
-    // --- store: docs with digest + exact cross-crawl duplicate detection ---
+    // --- response filter gates (parse/follow/store, ParsingThread.java:343,359,398) ---
+    val pages0 = fetched.where(!col("isRobots") && col("status") === 200)
+    val emptySpans = lit(null).cast("array<struct<kind:string,text:string,media_ref:string,offset:int>>")
+    val pages =
+      if (gatesTrivial) pages0.withColumn("__store", lit(true))
+      else {
+        val respCtx = FilterDsl.urlContext(col("url")).copy(
+          contentType = Some(col("contentType")),
+          status = Some(col("status")),
+          text = Some(array_join(transform(col("spans"), s => s.getField("text")), " ")),
+          digest = Some(col("digest")),
+          isHttpResponse = Some(lit(true)))
+        pages0
+          .withColumn("__parse", FilterDsl.compile(cfg.parseFilter, respCtx))
+          .withColumn("__follow", FilterDsl.compile(cfg.followFilter, respCtx))
+          .withColumn("__store", FilterDsl.compile(cfg.storeFilter, respCtx))
+          .withColumn("digest", when(col("__parse"), col("digest")).otherwise(col("binaryDigest")))
+          .withColumn("spans", when(col("__parse"), col("spans")).otherwise(emptySpans))
+          .withColumn("links",
+            when(col("__parse") && col("__follow"), col("links"))
+              .otherwise(lit(null).cast("array<string>")))
+      }
+
+    // --- store: digest-keyed exact duplicate detection + docs sink ---
+    // (digests cover ALL parsed pages; the store filter gates only the sink)
     val digestsSeen = st.digests
-    val pages = fetched.toDF.where(!col("isRobots") && col("status") === 200)
-    val (docs, newDigests) = if (cfg.storeDocs) {
-      val docsRaw = pages
-        .withColumn("digest", digest_of_spans(col("host"), col("spans"), col("status"), lit(null).cast("string")))
-      // within-round duplicate = not the digest's first seq; aggregation-
-      // based (partial agg), so a viral duplicate page is skew-immune
-      val firstDigest = docsRaw.groupBy("digest").agg(min("seq").as("__minSeq"))
-      val d = docsRaw
+    val (linkSources, docs, newDigests) = if (cfg.storeDocs) {
+      val firstDigest = pages.groupBy("digest").agg(min("seq").as("__minSeq"))
+      val flagged = pages
         .join(firstDigest, Seq("digest"))
         .withColumn("__dupInBatch", col("seq") > col("__minSeq"))
-        .join(digestsSeen.select(col("digest"), lit(true).as("__dupAcross")), Seq("digest"), "left")
+        .join(digestsSeen.select(col("digest"), lit(true).as("__dupAcross")),
+          Seq("digest"), "left")
         .withColumn("is_duplicate", col("__dupInBatch") || coalesce(col("__dupAcross"), lit(false)))
+        .cache()
+      val d = flagged.where(col("__store"))
         .select(col("url").as("doc_id"), col("schemeAuthority"), col("spans"),
           col("digest"), col("status"), col("is_duplicate"), col("truncated"),
-          size(col("links")).as("n_links")) // round = partition dir
-        .cache()
+          size(coalesce(col("links"), array())).as("n_links")) // round = partition dir
       d.write.mode(SaveMode.Overwrite).parquet(appendDir("docs", round))
-      val nd = d.where(!col("is_duplicate")).select("digest").distinct()
+      val nd = flagged.where(!col("is_duplicate")).select("digest").distinct()
       nd.write.mode(SaveMode.Overwrite).parquet(appendDir("digests", round))
-      (d, nd)
-    } else (pages.limit(0).select(col("url").as("doc_id")).cache(), emptyDigests)
-
-    // --- robots parse -> broadcast state table update ---
-    val newRobots = fetched.where(col("isRobots")).map { r =>
-      RobotsEntry(r.schemeAuthority,
-        Robots.parse(SyntheticWeb.robotsContent(r.host, webCfg), "graft").toSeq)
-    }.toDF
+      // duplicate pages contribute no outlinks (ParsingThread.java:408-410)
+      (flagged.where(!col("is_duplicate")), flagged, nd)
+    } else (pages, pages.limit(0), emptyDigests)
 
     // --- outlink extraction -> schedule filter -> sieve (SURVEY.md §3.2) ---
-    val rawLinks = pages
-      .select(col("seq").as("parentSeq"), posexplode(col("links")).as(Seq("linkIdx", "spec")))
-    val blacklistGate =
+    val rawLinks = linkSources
+      .select(col("seq").as("parentSeq"),
+        posexplode(coalesce(col("links"), array())).as(Seq("linkIdx", "spec")))
+    val hostBlacklistGate =
       if (cfg.blacklistHosts.isEmpty) lit(true)
       else !burl_host(col("url")).isin(cfg.blacklistHosts: _*)
+    val ipBlacklistGate =
+      if (cfg.blacklistIps.isEmpty) lit(true)
+      else !ip_of_host(burl_host(col("url")), cfg.ipSpace).isin(cfg.blacklistIps: _*)
     val parsedLinks = rawLinks
       .withColumn("url", burl_parse(col("spec")))
       .where(col("url").isNotNull)
       .where(FilterDsl.compile(cfg.scheduleFilter, FilterDsl.urlContext(col("url"))))
-      .where(blacklistGate)
+      .where(hostBlacklistGate && ipBlacklistGate)
       .withColumn("urlHash", murmur64(col("url")))
       .select("url", "urlHash", "parentSeq", "linkIdx")
       .cache()
     val dedupIn = parsedLinks.count()
 
-    val bloom = seenBloom(st)
-    // Small batches probe the seen table with a broadcast hash set (one
-    // sequential scan, no shuffle of seen); big batches fall back to SMJ.
+    val blooms = bloomFilters(st)
     val broadcastProbe = dedupIn <= cfg.probeThreshold
-    // first new seq is exactly maxSeq (dense continuation of enqueue order)
-    val sieved = Sieve.assignSeq(
-      Sieve.newUrls(parsedLinks, seen, Seq("parentSeq", "linkIdx"), bloom, broadcastProbe),
-      Seq("parentSeq", "linkIdx"), startSeq = maxSeq - 1L)
+    // parentSeq bounds of this round's links drive the deterministic rank
+    // buckets (tiny agg over the cached fetch results)
+    val seqBounds = fetched.agg(min("seq"), max("seq")).collect()(0)
+    val (loSeq, hiSeq) =
+      if (seqBounds.isNullAt(0)) (0L, 0L) else (seqBounds.getLong(0), seqBounds.getLong(1))
+    // first new seq is exactly maxSeq (dense continuation of enqueue
+    // order); the sieve output is materialized ONCE (lc) — the rank count
+    // pass, the rank pass, the seen append, and the bloom delta reuse it
+    val sievedInput = Sieve
+      .newUrls(parsedLinks, seen, Seq("parentSeq", "linkIdx"), blooms, broadcastProbe)
+      .transform(lc)
+    val (sieved, sieveOut) = Sieve.assignSeq(
+      sievedInput, Seq("parentSeq", "linkIdx"), startSeq = maxSeq - 1L,
+      Sieve.linearBuckets(col("parentSeq"), loSeq, hiSeq, math.max(1, cfg.statePartitions)))
+    extendBloom(st, sievedInput, sieveOut, round)
 
-    // budget: enforced at sieve exit like Frontier.append (Frontier.java:810-814);
-    // unbounded budget skips the ranking entirely
-    val newFrontierAll = toFrontier(sieved.select("url", "urlHash", "seq"), round)
+    // budget: enforced at sieve exit like Frontier.append (Frontier.java:810-814)
+    val newFrontierAll = toFrontier(sieved.select("url", "urlHash", "seq"))
     val newFrontier = (if (cfg.maxUrlsPerHost == Long.MaxValue) newFrontierAll
       else {
         val withStored = newFrontierAll
-          .join(hosts.select("schemeAuthority", "stored"), Seq("schemeAuthority"), "left")
+          .join(hosts.select("hostHash", "stored"), Seq("hostHash"), "left")
           .na.fill(0L, Seq("stored"))
         val k = math.min(cfg.maxUrlsPerHost, Int.MaxValue.toLong).toInt
-        Ranking.topKPerKey(withStored, "schemeAuthority", Seq("seq"), k, rankCol = "__r")
+        Ranking.topKPerKey(withStored, "hostHash", Seq("seq"), k, rankCol = "__r")
           .where(col("stored") + col("__r") <= cfg.maxUrlsPerHost)
           .drop("__r", "stored")
-      }).cache()
-
-    val dedupOut = newFrontier.count()
+      })
 
     // seen append: ALL sieved urls (even budget-dropped ones are "seen" —
     // the reference sieve recorded them before append()'s budget re-check)
-    val seenDelta = sieved.select("urlHash")
-    seenDelta.write.mode(SaveMode.Overwrite).parquet(appendDir("seen", round))
+    sievedInput.select("urlHash")
+      .write.mode(SaveMode.Overwrite).parquet(appendDir("seen", round))
 
-    // --- state updates ---
-    // fetched page URLs leave the frontier; transient 5xx failures stay and
-    // are retried after the host's backoff (exception state machine)
-    val fetchedUrls = fetched.toDF
-      .where(!col("isRobots") && col("status") < 500).select("urlHash")
-    val fetchedPages = fetchedUrls.count()
-    val disallowedCount = disallowed.count()
-    // append-only: the new-URL delta is materialized (lc) and appended;
-    // consumed rows are only tombstoned
-    val newDelta = newFrontier.select(st.frontier.columns.map(col): _*).transform(lc)
+    // --- per-host state machine (reference ParsingThread.java:253-312) ---
+    val hostAgg = fetched.groupBy("hostHash").agg(
+      sum(when(!col("isRobots") && col("excClass").isNull && col("status") === 200, 1L)
+        .otherwise(0L)).as("__stored"),
+      sum(when(!col("isRobots") && col("excClass").isNull, 1L).otherwise(0L)).as("__done"),
+      max(col("isRobots") && col("excClass").isNull).as("__robotsFetched"),
+      min(when(col("excClass").isNotNull,
+        struct(col("seq"), col("excClass"), col("urlHash"), col("isRobots")))).as("__exc"),
+      first(when(col("isRobots") && col("excClass").isNull, col("robotsPrefixes")),
+        ignoreNulls = true).as("__prefixes"))
+
+    val excC = col("__exc").getField("excClass")
+    val excIsRobots = coalesce(col("__exc").getField("isRobots"), lit(false))
+    val touched = col("__touched")
+    // any non-exception fetch this round clears lastError BEFORE the
+    // exception is classified (bursts are seq-ordered; voided results sit
+    // after the exception, successes before it)
+    val anyOk = coalesce(col("__done"), lit(0L)) > 0 || coalesce(col("__robotsFetched"), lit(false))
+    val lastAfterOk = when(anyOk, lit(null).cast("string")).otherwise(col("lastError"))
+    // reference retry-counter quirk (ParsingThread.java:282-289): reset
+    // only when the previous class was null; a class SWITCH keeps retries
+    val retriesNew = when(excC.isNull, col("retries"))
+      .when(lastAfterOk.isNull, lit(0))
+      .when(lastAfterOk === excC, col("retries") + 1)
+      .otherwise(col("retries"))
+    val waitC = ruleCol(excC, _.waitRounds)
+    val maxRetC = ruleCol(excC, _.maxRetries.toLong)
+    val killC = killerCol(excC)
+    val retryable = retriesNew < maxRetC
+    // purge: killer class exhausted, or ANY repeated robots error
+    // (ParsingThread.java:299-302), or the per-host budget reached
+    val purgeByExc = excC.isNotNull && !retryable && (killC || excIsRobots)
+    val dropUrl = excC.isNotNull && !retryable && !killC && !excIsRobots
+
+    // all transition columns are computed against the ORIGINAL host row in
+    // one select (no withColumn chains — later columns must not see
+    // earlier overwrites)
+    val backoff = lit(now) + waitC * pow(lit(2.0), retriesNew.cast("double")).cast("long")
+    val storedNew = col("stored") + coalesce(col("__stored"), lit(0L))
+    val hostsU = hosts
+      .join(broadcast(hostAgg.withColumn("__touched", lit(true))), Seq("hostHash"), "left")
+      .select(
+        col("schemeAuthority"), col("hostHash"), col("ipHash"),
+        when(touched.isNull, col("nextFetch"))
+          .when(excC.isNull, lit(now + cfg.hostDelay))
+          .when(retryable, backoff)
+          .otherwise(lit(now + cfg.hostDelay)).as("nextFetch"),
+        storedNew.as("stored"),
+        (col("robotsDone") || coalesce(col("__robotsFetched"), lit(false))).as("robotsDone"),
+        (col("purged") || coalesce(touched && purgeByExc, lit(false)) ||
+          storedNew >= cfg.maxUrlsPerHost).as("purged"),
+        when(touched.isNull, col("retries"))
+          .when(excC.isNull, when(anyOk, lit(0)).otherwise(col("retries")))
+          .otherwise(retriesNew).as("retries"),
+        when(touched.isNull, col("lastError"))
+          .when(excC.isNull || !retryable, lit(null).cast("string"))
+          .otherwise(excC).as("lastError"),
+        coalesce(col("__prefixes"), col("robotsPrefixes")).as("robotsPrefixes"),
+        coalesce(touched && dropUrl, lit(false)).as("__drop"),
+        when(coalesce(touched && dropUrl, lit(false)),
+          col("__exc").getField("urlHash")).as("__dropHash"))
+      .cache()
+
+    val droppedUrls = hostsU.where(col("__drop")).select(col("__dropHash").as("urlHash"))
+    val hostCols = Seq("schemeAuthority", "hostHash", "ipHash", "nextFetch", "stored",
+      "robotsDone", "purged", "retries", "lastError", "robotsPrefixes")
+
+    // --- state deltas ---
+    // completed page URLs (any real HTTP status) leave the frontier;
+    // exception URLs stay (retry) unless dropped; disallowed heads leave
+    val completedUrls = fetched
+      .where(!col("isRobots") && col("excClass").isNull).select("urlHash")
+    val tombstoneDelta = completedUrls.unionByName(disallowed).unionByName(droppedUrls)
+
+    val newDelta = lc(newFrontier.select(st.frontier.columns.map(col): _*))
     val frontierNext = st.frontier.unionByName(newDelta)
-    val tombstonesNext = st.tombstones
-      .unionByName(fetchedUrls).unionByName(disallowed)
-      .transform(lc)
-    val pendingRowsNext = st.pendingRows + dedupOut - fetchedPages - disallowedCount
-    val tombRowsNext = st.tombRows + fetchedPages + disallowedCount
+    val tombstonesNext = st.tombstones.unionByName(tombstoneDelta).transform(lc)
+    val tombRowsNext = tombstonesNext.count() // cheap: counts the lc'd blocks
+    val dedupOut =
+      if (cfg.maxUrlsPerHost == Long.MaxValue) sieveOut else newDelta.count()
+    val pendingRowsNext = st.pendingRows + dedupOut - (tombRowsNext - st.tombRows)
 
-    // hosts: politeness + stored-count + robotsDone + retry/backoff updates
-    val hostFetchAgg = fetched.toDF.groupBy("schemeAuthority").agg(
-      sum(when(!col("isRobots") && col("status") === 200, 1L).otherwise(0L)).as("__stored"),
-      max(col("isRobots")).as("__robotsFetched"),
-      max(when(col("status") >= 500, 1).otherwise(0)).as("__failed"))
-    val backoff = lit(now) + lit(cfg.retryDelay) * pow(lit(2.0), col("retries")).cast("long")
-    val hostsUpdated = hosts
-      .join(hostFetchAgg, Seq("schemeAuthority"), "left")
-      .withColumn("nextFetch",
-        when(col("__stored").isNotNull && col("__failed") === 1, backoff)
-          .when(col("__stored").isNotNull, lit(now + cfg.hostDelay))
-          .otherwise(col("nextFetch")))
-      .withColumn("lastError",
-        when(col("__stored").isNotNull && col("__failed") === 1, lit("http_5xx"))
-          .when(col("__stored").isNotNull, lit(null).cast("string"))
-          .otherwise(col("lastError")))
-      .withColumn("retries",
-        when(col("__stored").isNotNull && col("__failed") === 1, col("retries") + 1)
-          .when(col("__stored").isNotNull, lit(0))
-          .otherwise(col("retries")))
-      .withColumn("stored", col("stored") + coalesce(col("__stored"), lit(0L)))
-      .withColumn("robotsDone", col("robotsDone") || coalesce(col("__robotsFetched"), lit(false)))
-      .withColumn("purged",
-        col("purged") || col("stored") >= cfg.maxUrlsPerHost || col("retries") > cfg.maxRetries)
-      .drop("__stored", "__robotsFetched", "__failed")
-    val hostsNext = hostsUpdated.unionByName(newHostsFrom(newFrontier, hosts))
-
-    val ipFetchAgg = fetched.toDF.select("ipHash").distinct()
-    val ipsUpdated = ips
-      .join(ipFetchAgg.withColumn("__hit", lit(true)), Seq("ipHash"), "left")
+    val hostsNext = hostsU.select(hostCols.map(col): _*)
+      .unionByName(newHostsFrom(newDelta, hosts))
+    val ipTouched = fetched.select("ipHash").distinct()
+    val ipsNext = ips
+      .join(broadcast(ipTouched.withColumn("__hit", lit(true))), Seq("ipHash"), "left")
       .withColumn("nextFetch", when(col("__hit"), lit(now + cfg.ipDelay)).otherwise(col("nextFetch")))
       .drop("__hit")
-    val ipsNext = ipsUpdated.unionByName(newIpsFrom(newFrontier, ips))
+      .unionByName(newIpsFrom(newDelta, ips))
 
-    val robotsNext = robots.unionByName(newRobots)
+    // adaptive front growth: a saturated round doubles the cap
+    val frontSizeNext =
+      if (!frontActive) st.frontSize
+      else {
+        val selHosts = fetched.select("hostHash").distinct().count()
+        if (selHosts >= st.frontSize) {
+          val grown = st.frontSize * cfg.frontGrowth
+          if (grown > 0) grown else Long.MaxValue
+        } else st.frontSize
+      }
 
-    // --- per-partition lineage + metrics (north_rule) ---
-    // Per-partition rows carry only per-partition quantities; round-global
-    // quantities (sieve in/out, duplicates) live on ONE partition_id=-1 row,
-    // so any aggregation over the table stays correct.
+    // --- per-partition lineage + metrics (north_rule): per-partition rows
+    // carry only per-partition quantities; round-global quantities live on
+    // ONE partition_id=-1 row ---
     val duplicates = if (cfg.storeDocs) docs.where(col("is_duplicate")).count() else 0L
-    val perPartition = fetched.toDF
+    val perPartition = fetched
       .withColumn("partition_id", spark_partition_id())
       .groupBy("partition_id")
       .agg(count(lit(1)).as("fetched"),
-        sum(when(col("isRobots"), 1L).otherwise(0L)).as("robots_fetched"),
+        sum(when(col("isRobots") && col("excClass").isNull, 1L).otherwise(0L)).as("robots_fetched"),
         sum(when(col("status") === 200 && !col("isRobots"), 1L).otherwise(0L)).as("parsed"),
-        sum(when(col("status") >= 500, 1L).otherwise(0L)).as("failed"),
-        sum(size(col("links"))).cast("long").as("links_out"))
+        sum(when(col("excClass").isNotNull, 1L).otherwise(0L)).as("failed"),
+        sum(size(coalesce(col("links"), array()))).cast("long").as("links_out"))
       .withColumn("dedup_in", lit(0L))
       .withColumn("dedup_out", lit(0L))
       .withColumn("duplicates", lit(0L))
@@ -596,38 +768,37 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
     // --- commit: snapshot on cadence, thread state in memory otherwise ---
     val compactedNext = frontierNext
       .join(broadcast(tombstonesNext), Seq("urlHash"), "left_anti")
-    val snapped = maybeSnapshot(round, compactedNext, hostsNext, ipsNext, robotsNext,
-      maxSeq + dedupOut, force = false)
+    val snapped = maybeSnapshot(round, compactedNext, hostsNext, ipsNext,
+      maxSeq + sieveOut, frontSizeNext, force = false)
     val (fNext, tombNext, tombRowsFinal) =
       if (snapped)
         (spark.read.parquet(stateDir(round, "frontier")), emptyTombstones, 0L)
       else if (tombRowsNext >= cfg.tombstoneCompactRows)
         (compactedNext.transform(lc), emptyTombstones, 0L) // amortized GC
       else (frontierNext, tombstonesNext, tombRowsNext)
-    val (hNext, iNext, rNext) =
+    val (hNext, iNext) =
       if (snapped)
         (spark.read.parquet(stateDir(round, "hosts")),
-          spark.read.parquet(stateDir(round, "ips")),
-          spark.read.parquet(stateDir(round, "robots")))
-      else
-        (hostsNext.transform(lc), ipsNext.transform(lc), robotsNext.transform(lc))
-    val seenNext = seen.unionByName(seenDelta.transform(lc))
+          spark.read.parquet(stateDir(round, "ips")))
+      else (hostsNext.transform(lc), ipsNext.transform(lc))
+    val seenNext = seen.unionByName(sievedInput.select("urlHash"))
     val digestsNext =
       if (cfg.storeDocs) st.digests.unionByName(newDigests.transform(lc))
       else st.digests
-    live = Some(LiveState(round, maxSeq + dedupOut, fNext, hNext, iNext, rNext,
+    live = Some(LiveState(round, maxSeq + sieveOut, frontSizeNext, fNext, hNext, iNext,
       seenNext, digestsNext, tombNext, pendingRowsNext, tombRowsFinal))
 
-    fetched.unpersist(); units.unpersist(); docs.unpersist(); newFrontier.unpersist()
-    disallowed.unpersist(); parsedLinks.unpersist()
+    fetched0.unpersist(); exploded.unpersist(); selected.unpersist()
+    parsedLinks.unpersist(); hostsU.unpersist()
+    if (cfg.storeDocs) docs.unpersist()
     fetchedCount
   }
 
   /** Snapshot the state tables when the cadence (or `force`) says so. */
   private def maybeSnapshot(round: Int, frontier: DataFrame, hosts: DataFrame,
-      ips: DataFrame, robots: DataFrame, maxSeq: Long, force: Boolean): Boolean = {
+      ips: DataFrame, maxSeq: Long, frontSize: Long, force: Boolean): Boolean = {
     val due = force || cfg.checkpointEvery <= 1 || round % cfg.checkpointEvery == 0
-    if (due) writeState(round, frontier, hosts, ips, robots, maxSeq)
+    if (due) writeState(round, frontier, hosts, ips, maxSeq, frontSize)
     due
   }
 
@@ -637,7 +808,7 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
       val compacted =
         if (st.tombRows == 0) st.frontier
         else st.frontier.join(broadcast(st.tombstones), Seq("urlHash"), "left_anti")
-      writeState(st.round, compacted, st.hosts, st.ips, st.robots, st.maxSeq)
+      writeState(st.round, compacted, st.hosts, st.ips, st.maxSeq, st.frontSize)
     }
   }
 
@@ -663,14 +834,15 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
     executed
   }
 
-  /** The crawl-order trace: (round, seq, url, isRobots, status), ordered.
-    * One partition-discovering scan (round = partition column). */
+  /** The crawl-order trace: (round, seq, url, isRobots, status, excClass),
+    * ordered. One partition-discovering scan (round = partition column). */
   def trace(): DataFrame = {
-    if (!exists(s"$workDir/trace")) Seq.empty[(Int, Long, String, Boolean, Int)]
-      .toDF("round", "seq", "url", "isRobots", "status")
+    if (!exists(s"$workDir/trace"))
+      Seq.empty[(Int, Long, String, Boolean, Int, String)]
+        .toDF("round", "seq", "url", "isRobots", "status", "excClass")
     else spark.read.parquet(s"$workDir/trace")
       .where(col("round") <= lastAppendRound())
-      .select("round", "seq", "url", "isRobots", "status")
+      .select("round", "seq", "url", "isRobots", "status", "excClass")
       .orderBy("round", "seq")
   }
 

@@ -38,19 +38,20 @@ object Ranking {
       .where(col(rankCol) <= k)
   }
 
-  /** First row per key in `orderCols` order, via aggregation instead of a
-    * window: partial (map-side) aggregation makes it skew-immune — the
-    * hash-agg shrinks each partition's contribution to one row per key
-    * before the shuffle. `orderCols` must be non-null and unique per row
-    * within a key. Preserves all columns of the winning row. */
+  /** First row per key in `orderCols` order, via ONE aggregation: the
+    * winning row rides inside a `min(struct(orderCols ++ rest))` (the
+    * order columns lead the struct, so lexicographic struct ordering is
+    * decided by them; they must be non-null and unique per row within a
+    * key). Partial (map-side) aggregation makes it skew-immune AND it is
+    * a single shuffle of one-row-per-key-per-partition — no join back
+    * (the previous implementation joined the winners against the input,
+    * re-shuffling the full batch a second time). */
   def firstPerKey(df: DataFrame, keyCol: String, orderCols: Seq[String]): DataFrame = {
-    val orderStruct = struct(orderCols.map(col): _*)
-    // renamed key avoids self-join attribute ambiguity (which would
-    // degrade the key equality to a trivially-true predicate)
-    val winners = df.groupBy(col(keyCol).as("__fpkKey"))
-      .agg(min(orderStruct).as("__winner"))
-    df.join(winners,
-        col(keyCol) === col("__fpkKey") && orderStruct === col("__winner"))
-      .drop("__fpkKey", "__winner")
+    val rest = df.columns.filterNot(c => c == keyCol || orderCols.contains(c)).toSeq
+    val ordered = orderCols ++ rest
+    val packed = struct(ordered.map(col): _*)
+    df.groupBy(col(keyCol))
+      .agg(min(packed).as("__w"))
+      .select(col(keyCol) +: ordered.map(c => col(s"__w.$c").as(c)): _*)
   }
 }

@@ -1,6 +1,6 @@
 package graft.frontier
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.BloomFilter
@@ -42,7 +42,7 @@ object Sieve {
       candidates: DataFrame,
       seen: DataFrame,
       orderCols: Seq[String],
-      bloom: Option[BloomFilter] = None,
+      blooms: Seq[BloomFilter] = Nil,
       broadcastProbe: Boolean = false): DataFrame = {
     val spark = candidates.sparkSession
 
@@ -51,12 +51,20 @@ object Sieve {
     // duplicated URL (skewed key) cost one row per partition, not a sort.
     val deduped = Ranking.firstPerKey(candidates, "urlHash", orderCols)
 
-    bloom match {
-      case None =>
+    blooms match {
+      case Nil =>
         deduped.join(seen, Seq("urlHash"), "left_anti")
-      case Some(bf) =>
-        val bcast = spark.sparkContext.broadcast(bf)
-        val mightContain = udf((h: Long) => bcast.value.mightContainLong(h))
+      case bank =>
+        // bank of filters: the consolidated base + per-round deltas (the
+        // broadcast-REFRESHED filter is extended, not rebuilt, each round)
+        val bcast = spark.sparkContext.broadcast(bank.toArray)
+        val mightContain = udf((h: Long) => {
+          val fs = bcast.value
+          var i = 0
+          var hit = false
+          while (i < fs.length && !hit) { hit = fs(i).mightContainLong(h); i += 1 }
+          hit
+        })
         // Definitely-new rows skip the join entirely; only bloom-positive
         // rows (true hits + false positives) pay the exact membership check.
         val flagged = deduped.withColumn("__maybe", mightContain(col("urlHash")))
@@ -89,35 +97,49 @@ object Sieve {
     * new URLs: `startSeq + rank` in the batch's first-enqueue order (the
     * reference re-sorts each sieve flush globally, `MercatorSieve.java:349`).
     *
-    * Distributed two-phase rank — no single-partition global window:
-    *  1. range-partition by the order columns (global order across
-    *     partitions; Spark's RangePartitioner samples deterministically);
-    *  2. count rows per range partition -> per-partition rank offsets;
-    *  3. rank within each frozen partition id and add its offset.
-    * The partition-id column is a pure function of the deterministic range
-    * bounds, so both passes see identical ids at any parallelism. */
-  def assignSeq(newUrls: DataFrame, orderCols: Seq[String], startSeq: Long): DataFrame = {
+    * Distributed two-phase rank with CALLER-SUPPLIED buckets — no
+    * RangePartitioner (whose sampling pass re-executes the upstream
+    * pipeline and is order-sensitive), no single-partition global window:
+    *  1. `bucket` is a pure, monotone function of the leading order
+    *     column(s) (e.g. a linear split of the known parentSeq range), so
+    *     bucket ids agree with the global order and are identical at any
+    *     parallelism;
+    *  2. one tiny aggregation counts rows per bucket -> rank offsets;
+    *  3. a per-bucket window ranks within buckets and adds the offset.
+    * The input should be materialized (cached/localCheckpoint) by the
+    * caller — the count and rank passes both read it.
+    *
+    * Returns the ranked frame and the batch row count (so callers do not
+    * need a separate count() job).
+    *
+    * @param bucket monotone bucket id expression (any integral type)
+    * @param startSeq last already-used seq; assigned seqs start at
+    *                 `startSeq + 1`
+    */
+  def assignSeq(newUrls: DataFrame, orderCols: Seq[String], startSeq: Long,
+      bucket: Column): (DataFrame, Long) = {
     val spark = newUrls.sparkSession
     val order = orderCols.map(col)
-    val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
-    // lazy localCheckpoint: the count pass materializes the ranged batch in
-    // block storage; the rank pass reuses it instead of recomputing the
-    // whole upstream dedup pipeline
-    val ranged = newUrls
-      .repartitionByRange(parts, order: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(false)
-    val counts = ranged.groupBy("__pid").count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets = counts.scanLeft((0, startSeq)) { case ((_, acc), (pid, n)) => (pid, acc + n) }
-    val offsetOf = counts.map(_._1).zip(offsets.map(_._2)).toMap // pid -> startSeq + rows before
-    val offsetDf = spark.createDataFrame(
-      offsetOf.toSeq.map { case (pid, off) => (pid, off) }).toDF("__pid", "__offset")
+    val withPid = newUrls.withColumn("__pid", bucket.cast("long"))
+    val counts = withPid.groupBy("__pid").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = startSeq
+    val offsets = counts.map { case (pid, n) => val o = (pid, acc); acc += n; o }
+    val offsetDf = spark.createDataFrame(offsets.toSeq).toDF("__pid", "__offset")
     val wLocal = Window.partitionBy("__pid").orderBy(order: _*)
-    ranged
+    val ranked = withPid
       .withColumn("__local", row_number().over(wLocal).cast("long"))
       .join(broadcast(offsetDf), Seq("__pid"))
       .withColumn("seq", col("__offset") + col("__local"))
       .drop("__pid", "__local", "__offset")
+    (ranked, acc - startSeq)
+  }
+
+  /** Monotone bucket id for [[assignSeq]]: a linear split of `[lo, hi]`
+    * into `parts` buckets by the leading order column. */
+  def linearBuckets(c: Column, lo: Long, hi: Long, parts: Int): Column = {
+    if (hi <= lo) lit(0L)
+    else least(lit(parts - 1L), greatest(lit(0L),
+      ((c - lit(lo)) * lit(parts.toLong)) / lit(hi - lo + 1L))).cast("long")
   }
 }

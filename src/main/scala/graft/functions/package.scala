@@ -18,6 +18,12 @@ package object functions {
   def burl_path_query(c: Column): Column = mkCol(BurlPart(toExpr(c), "pathQuery"))
   def burl_path(c: Column): Column = mkCol(BurlPart(toExpr(c), "path"))
 
+  /** Exact k-smallest-by-seq heads per group as one hash aggregation
+    * (map-side partial combine; no window sort). */
+  def topk_heads(seq: Column, url: Column, urlHash: Column, k: Int): Column =
+    mkCol(TopKHeads(toExpr(seq), toExpr(url), toExpr(urlHash), k)
+      .toAggregateExpression())
+
   /** Deterministic synthetic DNS: host -> ip id in [0, space). */
   def ip_of_host(c: Column, space: Long = 1L << 20): Column = mkCol(IpOfHost(toExpr(c), space))
 

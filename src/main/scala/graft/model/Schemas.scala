@@ -16,19 +16,19 @@ case class Doc(doc_id: String, spans: Seq[Span])
 
 /** A frontier entry: a normalized URL waiting to be fetched.
   * `seq` is the global first-enqueue order (the sieve's output order,
-  * reference `MercatorSieve.java:349-363`); `round` is the round that
-  * enqueued it. Split columns mirror the reference's prefix-omission
-  * byte-array layout (`Frontier.java:118-124`). */
+  * reference `MercatorSieve.java:349-363`). The row is deliberately
+  * NARROW — url + three hashes + seq; schemeAuthority/pathQuery/host are
+  * re-derived from `url` only for the (politeness-bounded) selected
+  * burst, so per-round frontier scans move the minimum bytes (the
+  * reference's prefix-omission byte-array layout, `Frontier.java:118-124`,
+  * compresses for the same reason). `hostHash` = murmur64(schemeAuthority)
+  * — the visit-state key AND the partitioning key. */
 case class FrontierUrl(
     url: String,
-    schemeAuthority: String,
-    pathQuery: String,
-    host: String,
     urlHash: Long,
     hostHash: Long,
     ipHash: Long,
-    seq: Long,
-    round: Int)
+    seq: Long)
 
 /** Per-host scheduler state (reference `VisitState.java:79-138`).
   * `nextFetch` is in virtual rounds (wall-clock politeness delays become
@@ -41,11 +41,15 @@ case class HostState(
     stored: Long,
     robotsDone: Boolean,
     purged: Boolean,
-    /** consecutive failed rounds; backoff doubles per retry and the host is
-      * purged past maxRetries (reference exception state machine,
-      * ParsingThread.java:276-312) */
+    /** consecutive same-class failures; the per-class wait/retry tables
+      * (reference ParsingThread.java:75-116,276-312) drive backoff
+      * `wait << retries`, URL drop, or host purge */
     retries: Int,
-    lastError: String)
+    /** last fetch-exception class, or null (VisitState.lastExceptionClass) */
+    lastError: String,
+    /** robots.txt disallow prefixes once fetched (null before; the robots
+      * state rides ON the host row — no separate robots join per round) */
+    robotsPrefixes: Seq[String])
 
 /** Per-IP politeness state (reference `WorkbenchEntry.java:52-80`). */
 case class IpState(ipHash: Long, nextFetch: Long)
@@ -54,18 +58,27 @@ case class IpState(ipHash: Long, nextFetch: Long)
 case class RobotsEntry(schemeAuthority: String, prefixes: Seq[String])
 
 /** Result of one (synthetic) fetch+parse (reference `FetchData.java:60-74`
-  * + `ParsingThread` outputs). `links` are raw outlink specs in document
-  * order; spans follow the input_hint schema. */
+  * + `ParsingThread` outputs). `links` is the parser's ordered-deduplicated
+  * link set (SetLinkReceiver) in document order; spans follow the
+  * input_hint schema. `excClass` != null marks a fetch exception (status
+  * 0, no body); `digest` is the HTML-parse digest, `binaryDigest` the
+  * raw-body fallback used when parseFilter rejects the response. */
 case class FetchResult(
     url: String,
     urlHash: Long,
     schemeAuthority: String,
     host: String,
+    hostHash: Long,
     ipHash: Long,
     seq: Long,
     status: Int,
     isRobots: Boolean,
+    excClass: String,
     truncated: Boolean,
+    contentType: String,
+    digest: String,
+    binaryDigest: String,
+    robotsPrefixes: Seq[String],
     spans: Seq[Span],
     links: Seq[String],
     round: Int)

@@ -113,21 +113,27 @@ object SyntheticWeb {
     if (depthOf(page) > maxDepth) 404 else 200
   }
 
-  /** Deterministic transient failures: ~1/failEvery pages return 503 on
-    * their first `failCount` attempts, then behave normally — exercising
-    * the retry/backoff state machine (reference exception tables,
-    * `ParsingThread.java:75-116`). Pure in (url, attempt, cfg). */
-  def transientFailures(url: String, cfg: Config): Int = {
-    if (cfg.failEvery <= 0) return 0
+  /** Synthetic fetch-exception classes, shaped after the reference's
+    * per-class tables (`ParsingThread.java:75-116`): a timeout-like class,
+    * a connection-closed-like class, and two host-killer classes. */
+  val ExceptionClasses: Vector[String] =
+    Vector("socket_timeout", "connection_closed", "unknown_host", "ssl_unverified")
+
+  /** Deterministic fetch exceptions: ~1/failEvery pages throw a fixed
+    * exception class on their first `failCount` attempts (both drawn from
+    * the page hash), then fetch normally — exercising the per-class
+    * retry/backoff/host-killer state machine. `attempt` = how many times
+    * this URL has already failed. Pure in (url, attempt, cfg); returns
+    * null when the fetch succeeds. */
+  def fetchExceptionAt(url: String, attempt: Int, cfg: Config): String = {
+    if (cfg.failEvery <= 0) return null
     val page = canonicalPage(url)
     val h = MurmurHash3Bubing.hashString(page, cfg.seed ^ 0xFA11L)
-    if (java.lang.Math.floorMod(h, cfg.failEvery.toLong) == 0L) 2 else 0
+    if (java.lang.Math.floorMod(h, cfg.failEvery.toLong) != 0L) return null
+    val cls = ExceptionClasses(java.lang.Math.floorMod(h >> 8, ExceptionClasses.length.toLong).toInt)
+    val failCount = 1 + java.lang.Math.floorMod(h >> 16, 3L).toInt // 1..3 failures
+    if (attempt < failCount) cls else null
   }
-
-  /** Status of the `attempt`-th fetch of a page (attempt = the host's
-    * current retry count): 503 while transient failures remain. */
-  def statusAt(url: String, attempt: Int, cfg: Config): Int =
-    if (attempt < transientFailures(url, cfg)) 503 else status(url, cfg)
 
   /** Outlinks of a page, in document order (empty for robots.txt, pages at
     * max depth, and 404s). Pure and deterministic in (url, cfg). */
@@ -184,6 +190,27 @@ object SyntheticWeb {
         Span("text", words.mkString(" "), "", i)
       }
     }
+  }
+
+  /** Render a page as HTML markup: the span sequence becomes `<p>` text
+    * runs interleaved with `<img src>` media elements, outlinks become
+    * `<a href>` anchors — so the crawl's fetch+parse path runs the REAL
+    * `HtmlParser` surface (links + spans + digest from markup) instead of
+    * consuming the generator's outputs directly. `HtmlParser.parse`
+    * round-trips this rendering back to exactly `pageSpans` and the
+    * media-refs ++ deduplicated `successors` link sequence. */
+  def pageHtml(url: String, cfg: Config): String = {
+    val spans = pageSpans(url, cfg)
+    val links = successors(url, cfg)
+    val sb = new StringBuilder(512)
+    sb.append("<html><head><title></title></head><body>")
+    spans.foreach { sp =>
+      if (sp.kind == "media") sb.append("<img src=\"").append(sp.media_ref).append("\">")
+      else sb.append("<p>").append(sp.text).append("</p>")
+    }
+    links.foreach(l => sb.append("<a href=\"").append(l).append("\"></a>"))
+    sb.append("</body></html>")
+    sb.toString
   }
 
   /** Deterministic robots policy: 1/robotsFraction of hosts disallow the

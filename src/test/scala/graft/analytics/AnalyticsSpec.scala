@@ -104,6 +104,28 @@ class AnalyticsSpec extends AnyFunSuite {
     lsh.foreach(r => assert(math.abs(brute(r.getAs[Long]("id")) - r.getAs[Double]("cosine")) < 1e-12))
   }
 
+  test("LSH skew guard: a degenerate corpus (identical docs) stays bounded") {
+    import spark.implicits._
+    // 3000 identical docs + 4 distinct: without the bucket cap every band
+    // bucket holds all 3000 -> ~4.5M pairs per band; with cap=100 the hot
+    // buckets are skipped entirely and only the small docs pair up
+    val degenerate = ((1 to 3000).map(i => (i.toLong, "boilerplate page text repeated verbatim")) ++
+      Seq((9001L, "alpha beta gamma delta"), (9002L, "alpha beta gamma epsilon"),
+        (9003L, "unrelated words entirely here"), (9004L, "another separate document text")))
+      .toDF("doc_id", "text")
+    val mh = Dedup.minhashCandidatePairs(degenerate, "doc_id", "text",
+      shingleK = 4, numHashes = 16, bands = 4, minEstJaccard = 0.0, maxBucketSize = 100)
+    assert(mh.count() <= 100L * 100 * 4, "minhash pair count not bounded")
+    assert(!mh.select("id1").as[Long].collect().contains(1L), "hot bucket leaked pairs")
+    val sh = Dedup.simhashCandidatePairs(degenerate, "doc_id", "text",
+      maxHamming = 16, maxBucketSize = 100)
+    assert(sh.count() <= 100L * 100 * 8, "simhash pair count not bounded")
+    // the small near-dup pair still survives the guard
+    val smallPairs = mh.where(col("id1") >= 9000).select("id1", "id2")
+      .as[(Long, Long)].collect().toSet
+    assert(smallPairs.contains((9001L, 9002L)), s"near-dup pair lost: $smallPairs")
+  }
+
   test("text stats: tokens, quality, langid, fingerprints") {
     val q = TextStats.qualityFeatures(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r).toMap

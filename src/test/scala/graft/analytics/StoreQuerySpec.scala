@@ -58,6 +58,34 @@ class StoreQuerySpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("graph map: dense archetype node ids; duplicates share their archetype's node") {
+    val gm = StoreQuery.graphMap(crawler.docs()).cache()
+    assert(gm.count() == crawler.docs().count(), "every stored URL must be mapped")
+    val nNodes = gm.select("node").distinct().count()
+    val nDigests = crawler.docs().select("digest").distinct().count()
+    assert(nNodes == nDigests, "one node per distinct digest")
+    // dense 0..n-1
+    val mm = gm.agg(min("node"), max("node")).collect()(0)
+    assert(mm.getLong(0) == 0L && mm.getLong(1) == nNodes - 1)
+    // duplicates point at their archetype's node
+    val dup = crawler.docs().where(col("is_duplicate")).select(col("doc_id"))
+    if (dup.count() > 0) {
+      val dupMap = gm.select(col("url").as("d_url"), col("node").as("d_node"),
+        col("archetype_url").as("d_arch"))
+      val archMap = gm.select(col("url").as("a_url"), col("node").as("a_node"))
+      val joined = dup.join(dupMap, dup("doc_id") === col("d_url"))
+        .join(archMap, col("d_arch") === col("a_url"))
+      assert(joined.where(col("d_node") =!= col("a_node")).count() == 0)
+    }
+    gm.unpersist()
+  }
+
+  test("speed histogram bins per-host bytes/round") {
+    val h = CrawlStats.speedHistogram(crawler.docs()).collect()
+    assert(h.nonEmpty)
+    assert(h.map(_.getLong(1)).sum > 0)
+  }
+
   test("repetition set is empty for a sieve-deduped crawl") {
     // the sieve guarantees each URL is stored at most once
     assert(StoreQuery.repetitionSet(crawler.docs()).count() == 0)

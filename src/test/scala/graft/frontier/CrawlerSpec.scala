@@ -47,21 +47,7 @@ class CrawlerSpec extends AnyFunSuite {
     val dir = tempDir("oracle")
     val crawler = new Crawler(spark, dir, cfg)
     crawler.run()
-
-    val sparkTrace = collectTrace(crawler)
-    val (oracleTrace0, oracleSeen) = OracleCrawler.run(cfg)
-    val oracleTrace = oracleTrace0
-      .map(t => (t.round, t.seq, t.url, t.isRobots, t.status))
-      .sortBy(t => (t._1, t._2, t._3))
-
-    assert(sparkTrace.size == oracleTrace.size,
-      s"trace sizes differ: spark=${sparkTrace.size} oracle=${oracleTrace.size}")
-    sparkTrace.zip(oracleTrace).zipWithIndex.foreach { case ((s, o), i) =>
-      assert(s == o, s"trace row $i differs: spark=$s oracle=$o")
-    }
-
-    val sparkSeen = crawler.seenHashes().collect().map(_.getLong(0)).toSet
-    assert(sparkSeen == oracleSeen, "URL-seen membership differs")
+    assertOracleParity(crawler, cfg)
   }
 
   test("bloom on/off produce identical crawls") {
@@ -107,16 +93,10 @@ class CrawlerSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
-  test("retry/backoff state machine: spark == oracle with transient failures") {
-    val failCfg = cfg.copy(
-      web = cfg.web.copy(failEvery = 4), // 1/4 of pages fail twice
-      maxRetries = 3, retryDelay = 1, maxRounds = 9)
-    val dir = tempDir("retries")
-    val crawler = new Crawler(spark, dir, failCfg)
-    crawler.run()
+  private def assertOracleParity(crawler: Crawler, c: CrawlConfig,
+      gates: OracleCrawler.Gates = OracleCrawler.Gates()): Unit = {
     val sparkTrace = collectTrace(crawler)
-    assert(sparkTrace.exists(_._5 == 503), "expected some 503 rows in trace")
-    val (oracleTrace0, oracleSeen) = OracleCrawler.run(failCfg)
+    val (oracleTrace0, oracleSeen) = OracleCrawler.run(c, gates)
     val oracleTrace = oracleTrace0
       .map(t => (t.round, t.seq, t.url, t.isRobots, t.status))
       .sortBy(t => (t._1, t._2, t._3))
@@ -126,6 +106,93 @@ class CrawlerSpec extends AnyFunSuite {
       assert(s == o, s"trace row $i differs: spark=$s oracle=$o")
     }
     assert(crawler.seenHashes().collect().map(_.getLong(0)).toSet == oracleSeen)
+  }
+
+  test("per-class exception state machine: spark == oracle with mixed failures") {
+    // 1/4 of pages fail 1-3 times with a class drawn from the 4-class
+    // table (two killer classes): exercises retry backoff, URL drop on
+    // exhausted non-killer, and host purge on killer/robots errors
+    val failCfg = cfg.copy(web = cfg.web.copy(failEvery = 4), maxRounds = 12)
+    val dir = tempDir("retries")
+    val crawler = new Crawler(spark, dir, failCfg)
+    crawler.run()
+    val sparkTrace = collectTrace(crawler)
+    assert(sparkTrace.exists(_._5 == 0), "expected exception rows (status 0) in trace")
+    import org.apache.spark.sql.functions._
+    val classes = crawler.trace().where(col("excClass").isNotNull)
+      .select("excClass").distinct().collect().map(_.getString(0)).toSet
+    assert(classes.size >= 2, s"expected multiple exception classes, got $classes")
+    assertOracleParity(crawler, failCfg)
+  }
+
+  test("fetchFilter gate drops URLs at fetch time: spark == oracle") {
+    val f = cfg.copy(fetchFilter = "not URLMatchesRegex(.*/3/.*)", maxRounds = 6)
+    val dir = tempDir("fetchf")
+    val crawler = new Crawler(spark, dir, f)
+    crawler.run()
+    val fetched = collectTrace(crawler).filterNot(_._4).map(_._3)
+    assert(!fetched.exists(_.matches(".*/3/.*")), "fetch-filtered URL was fetched")
+    // the unfiltered crawl does fetch such URLs (the gate is load-bearing)
+    val dirU = tempDir("fetchu")
+    val cu = new Crawler(spark, dirU, cfg.copy(maxRounds = 6))
+    cu.run()
+    assert(collectTrace(cu).filterNot(_._4).map(_._3).exists(_.matches(".*/3/.*")))
+    assertOracleParity(crawler, f,
+      OracleCrawler.Gates(fetchOk = u => !u.matches(".*/3/.*")))
+  }
+
+  test("parse/follow/store response gates: spark == oracle") {
+    val f = cfg.copy(
+      parseFilter = "not URLMatchesRegex(.*/2/.*)",
+      followFilter = "not URLMatchesRegex(.*/0/.*)",
+      storeFilter = "not URLMatchesRegex(.*/1/.*)",
+      maxRounds = 6)
+    val dir = tempDir("gates")
+    val crawler = new Crawler(spark, dir, f)
+    crawler.run()
+    import org.apache.spark.sql.functions._
+    // store gate: no /1/ docs in the store
+    assert(crawler.docs().where(col("doc_id").rlike("/1/")).count() == 0)
+    // parse gate: /2/ pages carry no spans and a 16-hex binary digest
+    val parsed2 = crawler.docs().where(col("doc_id").rlike("/2/"))
+    if (parsed2.count() > 0)
+      assert(parsed2.where(size(col("spans")) > 0 || length(col("digest")) =!= 16).count() == 0)
+    assertOracleParity(crawler, f, OracleCrawler.Gates(
+      parseOk = u => !u.matches(".*/2/.*"),
+      followOk = u => !u.matches(".*/0/.*"),
+      storeOk = u => !u.matches(".*/1/.*")))
+  }
+
+  test("adaptive front sizing grows on saturation: spark == oracle") {
+    val f = cfg.copy(initialFrontSize = 2, frontGrowth = 2, maxRounds = 7)
+    val dir = tempDir("front")
+    val crawler = new Crawler(spark, dir, f)
+    crawler.run()
+    // the tiny front must bite: round sizes differ from the unbounded run
+    val dirU = tempDir("frontu")
+    val cu = new Crawler(spark, dirU, cfg.copy(maxRounds = 7))
+    cu.run()
+    assert(collectTrace(crawler) != collectTrace(cu), "front cap had no effect")
+    assertOracleParity(crawler, f)
+  }
+
+  test("ip-blacklisted hosts are never enqueued") {
+    val probe = tempDir("ipbl-probe")
+    val cp = new Crawler(spark, probe, cfg.copy(maxRounds = 5))
+    cp.run()
+    val seedHosts = (0 until cfg.nSeeds)
+      .map(i => graft.core.Burl.host(graft.synth.SyntheticWeb.seedUrl(i, cfg.web))).toSet
+    val nonSeed = collectTrace(cp).map(t => graft.core.Burl.host(t._3))
+      .distinct.filterNot(seedHosts)
+    assert(nonSeed.nonEmpty)
+    val victimIp = graft.core.Burl.ipOfHost(nonSeed.head, cfg.ipSpace)
+    val dir = tempDir("ipbl")
+    val c = new Crawler(spark, dir, cfg.copy(maxRounds = 5, blacklistIps = Seq(victimIp)))
+    c.run()
+    val visitedNonSeed = collectTrace(c).map(t => graft.core.Burl.host(t._3))
+      .distinct.filterNot(seedHosts)
+    assert(!visitedNonSeed.exists(h => graft.core.Burl.ipOfHost(h, cfg.ipSpace) == victimIp),
+      "ip-blacklisted host was visited")
   }
 
   test("checkpointEvery > 1 (in-memory state threading) crawls identically") {

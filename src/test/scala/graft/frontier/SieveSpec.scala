@@ -31,16 +31,19 @@ class SieveSpec extends AnyFunSuite {
     import spark.implicits._
     // flush 1: A0,A1,A0,A3 -> A0,A1,A3 ; flush 2: A0,A5,A2,A2,A5,A6 -> A5,A2,A6
     val b1 = batch(Seq("A0", "A1", "A0", "A3"), 0)
-    val out1 = Sieve.assignSeq(Sieve.newUrls(b1, emptySeen, Seq("parentSeq", "linkIdx")),
-      Seq("parentSeq", "linkIdx"), startSeq = -1L)
+    val (out1, n1) = Sieve.assignSeq(Sieve.newUrls(b1, emptySeen, Seq("parentSeq", "linkIdx")),
+      Seq("parentSeq", "linkIdx"), startSeq = -1L,
+      Sieve.linearBuckets(org.apache.spark.sql.functions.col("linkIdx"), 0, 3, 4))
     assert(out1.orderBy("seq").select("url").as[String].collect().toSeq == Seq("A0", "A1", "A3"))
 
     val seen1 = out1.select("urlHash")
     val b2 = batch(Seq("A0", "A5", "A2", "A2", "A5", "A6"), 10)
-    val out2 = Sieve.assignSeq(Sieve.newUrls(b2, seen1, Seq("parentSeq", "linkIdx")),
-      Seq("parentSeq", "linkIdx"), startSeq = 2L)
+    val (out2, n2) = Sieve.assignSeq(Sieve.newUrls(b2, seen1, Seq("parentSeq", "linkIdx")),
+      Seq("parentSeq", "linkIdx"), startSeq = 2L,
+      Sieve.linearBuckets(org.apache.spark.sql.functions.col("linkIdx"), 10, 15, 4))
     assert(out2.orderBy("seq").select("url").as[String].collect().toSeq == Seq("A5", "A2", "A6"))
     assert(out2.select("seq").as[Long].collect().sorted.toSeq == Seq(3L, 4L, 5L))
+    assert(n1 == 3 && n2 == 3)
   }
 
   test("property: output == stable first-occurrence subsequence (random)") {
@@ -49,8 +52,9 @@ class SieveSpec extends AnyFunSuite {
     val urls = Vector.fill(500)("u" + rnd.nextInt(120))
     val expected = urls.distinct // first-occurrence order
     val b = batch(urls, 0)
-    val out = Sieve.assignSeq(Sieve.newUrls(b, emptySeen, Seq("parentSeq", "linkIdx")),
-      Seq("parentSeq", "linkIdx"), startSeq = -1L)
+    val (out, _) = Sieve.assignSeq(Sieve.newUrls(b, emptySeen, Seq("parentSeq", "linkIdx")),
+      Seq("parentSeq", "linkIdx"), startSeq = -1L,
+      Sieve.linearBuckets(org.apache.spark.sql.functions.col("linkIdx"), 0, 499, 4))
     assert(out.orderBy("seq").select("url").as[String].collect().toSeq == expected)
   }
 
@@ -62,9 +66,9 @@ class SieveSpec extends AnyFunSuite {
     val mixed = Vector.fill(400)(if (rnd.nextBoolean()) "s" + rnd.nextInt(300) else "n" + rnd.nextInt(150))
     val b = batch(mixed, 0)
     val bloom = Sieve.seenBloom(seen, expected = 200)
-    val exact = Sieve.newUrls(b, seen, Seq("parentSeq", "linkIdx"), None)
+    val exact = Sieve.newUrls(b, seen, Seq("parentSeq", "linkIdx"), Nil)
       .orderBy("linkIdx").select("url").as[String].collect().toSeq
-    val bloomed = Sieve.newUrls(b, seen, Seq("parentSeq", "linkIdx"), Some(bloom))
+    val bloomed = Sieve.newUrls(b, seen, Seq("parentSeq", "linkIdx"), Seq(bloom))
       .orderBy("linkIdx").select("url").as[String].collect().toSeq
     assert(exact == bloomed)
     assert(exact.forall(!_.startsWith("s") || !seenUrls.contains(exact)))
