@@ -2,7 +2,7 @@ package graft
 
 import scala.collection.mutable
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 import graft.frontier.{CrawlConfig, Crawler}
@@ -57,6 +57,37 @@ object BenchProbe {
         stages += 1
       }
     }
+    val jobs = mutable.ArrayBuffer.empty[(Int, Long, Long, String)] // id, start, end, site
+    private val jobStart = mutable.Map.empty[Int, (Long, String)]
+    override def onJobStart(js: SparkListenerJobStart): Unit = synchronized {
+      val site = Option(js.properties)
+        .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+      jobStart(js.jobId) = (js.time, site)
+    }
+    override def onJobEnd(je: SparkListenerJobEnd): Unit = synchronized {
+      jobStart.remove(je.jobId).foreach { case (t0, site) =>
+        jobs += ((je.jobId, t0, je.time, site))
+      }
+    }
+    /** Sequential job timeline with driver-side gaps (plan/optimize/collect
+      * time between jobs) — gaps are where a non-scaling wall floor hides. */
+    def timeline(minMs: Long): String = synchronized {
+      val sorted = jobs.sortBy(_._2).toVector
+      val sb = new StringBuilder
+      var lastEnd = 0L
+      var gapTotal = 0L
+      var jobTotal = 0L
+      for ((id, s, e, site) <- sorted) {
+        val gap = if (lastEnd == 0) 0 else s - lastEnd
+        if (gap > 0) gapTotal += gap
+        jobTotal += e - s
+        if (e - s >= minMs || gap >= minMs)
+          sb.append(f"  job=$id%4d dur=${(e - s) / 1000.0}%6.2fs gapBefore=${gap / 1000.0}%6.2fs  $site%n")
+        lastEnd = math.max(lastEnd, e)
+      }
+      sb.append(f"  TOTAL jobs=${sorted.size} jobTime=${jobTotal / 1000.0}%.1fs driverGaps=${gapTotal / 1000.0}%.1fs%n")
+      sb.toString
+    }
     def topStages(n: Int): String = synchronized {
       val byWall = perStage.sortBy(-_._2).take(n)
       byWall.map { case (name, w, r, c, sw) =>
@@ -86,6 +117,8 @@ object BenchProbe {
       .config("spark.local.dir", localDir)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.locality.wait", "0")
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
     // trailing args: k=v spark conf overrides, plus storage=<level> for the
     // crawler state storage
     var storage = "DISK_ONLY"
@@ -119,10 +152,15 @@ object BenchProbe {
       org.apache.spark.sql.functions.sum("fetched"),
       org.apache.spark.sql.functions.sum("dedup_in")).collect()(0)
     val processed = m.getLong(0) + m.getLong(1)
+    val cg = org.apache.spark.metrics.source.CodegenMetrics
+    println(s"[probe] codegen: compiles=${cg.METRIC_COMPILATION_TIME.getCount} " +
+      s"totalCompileMs=${cg.METRIC_COMPILATION_TIME.getSnapshot.getValues.sum}")
     println(s"[probe] threads=$threads processed=$processed rate=${(processed / wall).toLong}/s")
     println(listener.report(wall))
     println("[probe] top stages by wall:")
     println(listener.topStages(14))
+    println("[probe] job timeline (>=400ms):")
+    println(listener.timeline(400))
     spark.stop()
   }
 }

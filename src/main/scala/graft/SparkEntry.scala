@@ -224,6 +224,24 @@ object SparkEntry {
     Similarity.lshTopK(emb.where(col("vec_id") =!= 0), "vec_id", "embedding", q, 10)
   }
 
+  /** ANN over the bucket-partitioned LSH layout (the 100-TB path: the
+    * probe ball prunes bucket directories instead of scanning the corpus).
+    * The index build is memoized per (session, sf-dir). */
+  private val annIndexMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def qAnnLshBucketed(s: SparkSession, dir: String): DataFrame = {
+    val path = annIndexMemo.computeIfAbsent(s.sparkContext.applicationId + dir, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-ann-index").toString
+      Similarity.writeBucketed(
+        s.read.parquet(t(dir, "embeddings")).where(col("vec_id") =!= 0),
+        "vec_id", "embedding", p, planes = 8)
+      p
+    })
+    val q = s.read.parquet(t(dir, "embeddings")).where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    Similarity.lshTopKBucketed(s, path, q, 10, planes = 8)
+  }
+
   private def qEmbeddingNearDup(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDupPairs(
       s.read.parquet(t(dir, "embeddings")).limit(2000), "vec_id", "embedding",
@@ -328,6 +346,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> (qNgramJaccard(_, _)),
     "q_ann_brute" -> (qAnnBrute(_, _)),
     "q_ann_lsh" -> (qAnnLsh(_, _)),
+    "q_ann_lsh_bucketed" -> (qAnnLshBucketed(_, _)),
     "q_embedding_neardup" -> (qEmbeddingNearDup(_, _)),
     "q_media_features" -> (qMediaFeatures(_, _)),
     "q_parse_spans" -> (qParseSpans(_, _)),

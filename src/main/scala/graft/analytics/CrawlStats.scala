@@ -67,6 +67,8 @@ object CrawlStats {
       sum("parsed").as("parsed"),
       sum("failed").as("failed"),
       sum("links_out").as("links_out"),
+      sum("bytes_fetched").as("bytes_fetched"),
+      sum("media_spans").as("media_spans"),
       sum("dedup_in").as("dedup_in"),
       sum("dedup_out").as("dedup_out"),
       sum("duplicates").as("duplicates"))

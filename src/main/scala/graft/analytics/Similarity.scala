@@ -65,6 +65,49 @@ object Similarity {
       .limit(k)
   }
 
+  private def planeSignExpr(vec: Column, p: Int): Column = {
+    val prod = aggregate(
+      zip_with(vec, sequence(lit(0), size(vec) - 1),
+        (x, i) => x * (pmod(xxhash64(concat_ws("_", lit(p), i)), lit(2)) * 2 - 1)),
+      lit(0.0), (acc, x) => acc + x)
+    when(prod >= 0, lit(1L)).otherwise(lit(0L))
+  }
+
+  /** Sign-bucket id of an embedding column. */
+  def bucketExpr(vec: Column, planes: Int): Column =
+    (0 until planes).map(p => planeSignExpr(vec, p) * (1L << p)).reduce(_ + _)
+
+  /** Write the corpus PARTITIONED BY LSH bucket: the layout that makes
+    * [[lshTopKBucketed]]'s probe a partition-PRUNED read (only the probe
+    * ball's directories are listed/scanned) instead of a full-corpus scan
+    * with a post-filter. At 100 TB this is the difference between reading
+    * ~(probes/2^planes) of the table and reading all of it. */
+  def writeBucketed(emb: DataFrame, idCol: String, vecCol: String,
+      path: String, planes: Int = 8): Unit =
+    emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("bucket", bucketExpr(col("v"), planes))
+      .write.partitionBy("bucket").mode("overwrite").parquet(path)
+
+  /** LSH top-k over the bucket-partitioned layout: the probe-ball filter
+    * lands on the `bucket` PARTITION column, so the scan reads only the
+    * matching bucket directories (check `.explain`: PartitionFilters).
+    * Same result set as [[lshTopK]] with the same planes/ball. */
+  def lshTopKBucketed(spark: org.apache.spark.sql.SparkSession, path: String,
+      query: Array[Double], k: Int, planes: Int = 8, hammingBall: Int = 1): DataFrame = {
+    val q = array(query.map(lit): _*)
+    // the query's bucket is a literal: evaluate it once on the driver
+    val qBucket = spark.range(1).select(bucketExpr(q, planes).as("b")).head().getLong(0)
+    // enumerate the probe ball as explicit partition values -> pruning is
+    // a static IN-list over the partition column
+    val ball = (0L until (1L << planes))
+      .filter(b => java.lang.Long.bitCount(b ^ qBucket) <= hammingBall)
+    spark.read.parquet(path)
+      .where(col("bucket").isin(ball: _*))
+      .select(col("id"), cosine(col("v"), q).as("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+  }
+
   /** All-pairs exact top-k neighbors for a SMALL id set (verification /
     * golden stage): ids x corpus, rank per id. */
   def topKForIds(emb: DataFrame, idCol: String, vecCol: String,

@@ -159,6 +159,17 @@ case class FetchUnit(
   * (`localCheckpoint` truncates lineage); `run()` resumes from the last
   * complete snapshot and deterministically re-executes rounds after it.
   */
+object Crawler {
+  /** Shared daemon pool for the concurrent per-round actions. */
+  private[frontier] lazy val actionPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r, "graft-round-action")
+        t.setDaemon(true)
+        t
+      }))
+}
+
 class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
   import spark.implicits._
 
@@ -167,9 +178,31 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
   // the memory-safe in-partition sort-based aggregation (the default
   // threshold of 128 keys would force the sort fallback immediately)
   spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
+  // each round compiles ~200 distinct codegen units; the default 100-entry
+  // codegen cache THRASHES across rounds and re-Janino-compiles the whole
+  // loop every round (round-varying scalars are plan references via
+  // ref_long, so the sources are cache-stable) — this is a static JVM-wide
+  // conf, set it before the first session when running standalone
+  try spark.conf.set("spark.sql.codegen.cache.maxEntries", "10000")
+  catch { case _: org.apache.spark.sql.AnalysisException => () } // static conf set too late: harness sets it at session build
 
   private val stateLevel = org.apache.spark.storage.StorageLevel.fromString(cfg.stateStorage)
   private def lc(df: DataFrame): DataFrame = df.localCheckpoint(true, stateLevel)
+
+  /** Run independent Spark ACTIONS concurrently from driver threads: the
+    * round's sinks and state materializations form independent DAG
+    * branches, and per-job fixed latency (scheduling + codegen + task
+    * launch) is the local-mode wall-clock floor — overlapping the jobs
+    * turns a sum of latencies into a max. Output DATA is unchanged
+    * (branches share only already-materialized caches). */
+  private def inParallel(tasks: (() => Unit)*): Unit = {
+    if (tasks.size <= 1) { tasks.foreach(_()); return }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = Crawler.actionPool
+    val fs = tasks.map(t => Future(t()))
+    fs.foreach(Await.result(_, Duration.Inf))
+  }
 
   private val fs = org.apache.hadoop.fs.FileSystem.get(
     new java.net.URI(workDir), spark.sparkContext.hadoopConfiguration)
@@ -268,12 +301,14 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
     // agent-assignment function (BubingJob.java:47-52); at cluster scale
     // this becomes Iceberg bucket partitioning so the per-round
     // frontier/hosts joins are co-partitioned (SURVEY.md §4).
-    frontier.repartition(cfg.statePartitions, col("hostHash"))
-      .write.mode(SaveMode.Overwrite).parquet(stateDir(round, "frontier"))
-    hosts.repartition(math.max(1, cfg.statePartitions / 4), col("hostHash"))
-      .write.mode(SaveMode.Overwrite).parquet(stateDir(round, "hosts"))
-    ips.repartition(math.max(1, cfg.statePartitions / 4), col("ipHash"))
-      .write.mode(SaveMode.Overwrite).parquet(stateDir(round, "ips"))
+    inParallel(
+      () => frontier.repartition(cfg.statePartitions, col("hostHash"))
+        .write.mode(SaveMode.Overwrite).parquet(stateDir(round, "frontier")),
+      () => hosts.repartition(math.max(1, cfg.statePartitions / 4), col("hostHash"))
+        .write.mode(SaveMode.Overwrite).parquet(stateDir(round, "hosts")),
+      () => ips.repartition(math.max(1, cfg.statePartitions / 4), col("ipHash"))
+        .write.mode(SaveMode.Overwrite).parquet(stateDir(round, "ips")))
+    // scalars LAST: its _SUCCESS is the snapshot-completeness marker
     Seq((maxSeq, round, frontSize)).toDF("maxSeq", "round", "frontSize")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(stateDir(round, "scalars"))
   }
@@ -393,18 +428,30 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
     val heads = frontier.groupBy("hostHash")
       .agg(topk_heads(col("seq"), col("url"), col("urlHash"), kHeads).as("heads"))
 
-    val ipReady = ips.where(col("nextFetch") <= now).select("ipHash")
+    val nowC = ref_long(now, "now")
+    val ipReady = ips.where(col("nextFetch") <= nowC).select("ipHash")
     val eligible = hosts
-      .where(!col("purged") && col("nextFetch") <= now)
+      .where(!col("purged") && col("nextFetch") <= nowC)
       .join(heads, Seq("hostHash")) // inner: only hosts with pending work
-      .join(ipReady, Seq("ipHash"), "left_semi")
+      .join(ipReady.hint("broadcast"), Seq("ipHash"), "left_semi")
       .withColumn("priority", element_at(col("heads"), 1).getField("seq"))
     // one host per IP per round (one VisitState in flight per
     // WorkbenchEntry, ParsingThread.java:271-274); priority (= a seq) is
-    // globally unique, so the rank-1 choice is total without tiebreaks
-    val wIp = Window.partitionBy("ipHash").orderBy("priority")
+    // globally unique, so the rank-1 choice is total without tiebreaks —
+    // computed as a min-by AGGREGATION (map-side partial combine), not a
+    // window sort
+    val hostRow = struct(col("hostHash"), col("schemeAuthority"),
+      col("retries"), col("lastError"), col("robotsPrefixes"),
+      col("robotsDone"), col("heads"))
     val rank1 = eligible
-      .withColumn("__r", row_number().over(wIp)).where(col("__r") === 1).drop("__r")
+      .groupBy("ipHash")
+      .agg(min(struct(col("priority"), hostRow.as("r"))).as("w"))
+      .select(col("ipHash"), col("w.priority").as("priority"),
+        col("w.r.hostHash").as("hostHash"),
+        col("w.r.schemeAuthority").as("schemeAuthority"),
+        col("w.r.retries").as("retries"), col("w.r.lastError").as("lastError"),
+        col("w.r.robotsPrefixes").as("robotsPrefixes"),
+        col("w.r.robotsDone").as("robotsDone"), col("w.r.heads").as("heads"))
     // adaptive front sizing (Frontier.java:824-835): cap the in-flight IP
     // set; grown in the commit phase when a round saturates it
     val frontActive = st.frontSize < Long.MaxValue
@@ -435,29 +482,29 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
 
     // head-window fetch gate: robots prefixes (riding on the host row — no
     // robots join) + fetchFilter; disallowed heads are dropped in-round,
-    // first `burst` survivors are fetched. Window partitions are <= k'
-    // rows — no salting needed.
-    val fetchable = FilterDsl.compile(cfg.fetchFilter, FilterDsl.urlContext(col("url")))
-    val exploded = pageHosts
+    // first `burst` survivors are fetched. The heads array is ALREADY
+    // seq-sorted, so the burst is an array filter + slice — no per-host
+    // window, no exchange.
+    def headKeep(h: Column): Column = {
+      val u = h.getField("url")
+      (col("robotsPrefixes").isNull ||
+        respects_robots(burl_path_query(u), col("robotsPrefixes"))) &&
+        FilterDsl.compile(cfg.fetchFilter, FilterDsl.urlContext(u))
+    }
+    val gated = pageHosts
+      .withColumn("__kept", filter(col("heads"), h => headKeep(h)))
+      .withColumn("__dropped", filter(col("heads"), h => !headKeep(h)))
+    val disallowed = gated
+      .select(explode(col("__dropped")).as("h")).select(col("h.urlHash").as("urlHash"))
+    val pageUnits = gated
       .select(col("hostHash"), col("schemeAuthority"), col("ipHash"),
-        col("retries"), col("lastError"), col("robotsPrefixes"),
-        explode(col("heads")).as("h"))
-      .select(col("hostHash"), col("schemeAuthority"), col("ipHash"),
-        col("retries"), col("lastError"), col("robotsPrefixes"),
-        col("h.seq").as("seq"), col("h.url").as("url"), col("h.urlHash").as("urlHash"))
-      .withColumn("pathQuery", burl_path_query(col("url")))
-      .withColumn("host", burl_host(col("url")))
-      .withColumn("__keep",
-        (col("robotsPrefixes").isNull ||
-          respects_robots(col("pathQuery"), col("robotsPrefixes"))) && fetchable)
-      .cache()
-    val disallowed = exploded.where(!col("__keep")).select("urlHash")
-    val wHost = Window.partitionBy("hostHash").orderBy("seq")
-    val pageUnits = exploded.where(col("__keep"))
-      .withColumn("__r", row_number().over(wHost)).where(col("__r") <= cfg.burst)
-      .select(col("url"), col("schemeAuthority"), col("host"), col("pathQuery"),
-        col("urlHash"), col("hostHash"), col("ipHash"), col("seq"),
-        lit(false).as("isRobots"), attemptCol)
+        col("retries"), col("lastError"),
+        explode(slice(col("__kept"), 1, cfg.burst)).as("h"))
+      .select(col("h.url").as("url"), col("schemeAuthority"),
+        burl_host(col("h.url")).as("host"),
+        burl_path_query(col("h.url")).as("pathQuery"),
+        col("h.urlHash").as("urlHash"), col("hostHash"), col("ipHash"),
+        col("h.seq").as("seq"), lit(false).as("isRobots"), attemptCol)
 
     val units = robotsUnits.unionByName(pageUnits).as[FetchUnit]
 
@@ -515,7 +562,9 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
           .drop("__failSeq")
       }
 
-    val fetchedCount = fetched.count()
+    // ONE job: materialize the fetch cache + the round scalars
+    val fetchStats = fetched.agg(count(lit(1)), min("seq"), max("seq")).collect()(0)
+    val fetchedCount = fetchStats.getLong(0)
     if (fetchedCount == 0) {
       // politeness wait: carry state forward, snapshot on cadence
       val snapped = maybeSnapshot(round, frontier, hosts, ips, maxSeq, st.frontSize,
@@ -527,15 +576,9 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
             tombstones = emptyTombstones, tombRows = 0L)
         else st.copy(round = round))
       bloomRound = round
-      fetched0.unpersist(); exploded.unpersist(); selected.unpersist()
+      fetched0.unpersist(); selected.unpersist()
       return 0
     }
-
-    // trace: the crawl ordering artifact (round = partition dir; status 0
-    // rows are fetch exceptions with their class)
-    fetched
-      .select(col("seq"), col("url"), col("isRobots"), col("status"), col("excClass"))
-      .write.mode(SaveMode.Overwrite).parquet(appendDir("trace", round))
 
     // --- response filter gates (parse/follow/store, ParsingThread.java:343,359,398) ---
     val pages0 = fetched.where(!col("isRobots") && col("status") === 200)
@@ -572,16 +615,14 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
           Seq("digest"), "left")
         .withColumn("is_duplicate", col("__dupInBatch") || coalesce(col("__dupAcross"), lit(false)))
         .cache()
-      val d = flagged.where(col("__store"))
-        .select(col("url").as("doc_id"), col("schemeAuthority"), col("spans"),
-          col("digest"), col("status"), col("is_duplicate"), col("truncated"),
-          size(coalesce(col("links"), array())).as("n_links")) // round = partition dir
-      d.write.mode(SaveMode.Overwrite).parquet(appendDir("docs", round))
       val nd = flagged.where(!col("is_duplicate")).select("digest").distinct()
-      nd.write.mode(SaveMode.Overwrite).parquet(appendDir("digests", round))
       // duplicate pages contribute no outlinks (ParsingThread.java:408-410)
       (flagged.where(!col("is_duplicate")), flagged, nd)
     } else (pages, pages.limit(0), emptyDigests)
+
+    // independent sinks + the link-batch materialization, overlapped
+    var duplicates = 0L
+    var dedupIn = 0L
 
     // --- outlink extraction -> schedule filter -> sieve (SURVEY.md §3.2) ---
     val rawLinks = linkSources
@@ -601,15 +642,37 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
       .withColumn("urlHash", murmur64(col("url")))
       .select("url", "urlHash", "parentSeq", "linkIdx")
       .cache()
-    val dedupIn = parsedLinks.count()
+
+    inParallel(
+      // trace: the crawl ordering artifact (round = partition dir;
+      // status-0 rows are fetch exceptions with their class)
+      () => fetched
+        .select(col("seq"), col("url"), col("isRobots"), col("status"), col("excClass"))
+        .write.mode(SaveMode.Overwrite).parquet(appendDir("trace", round)),
+      // robots store sink (the robots WARC stream,
+      // ParsingThread.java:325-327): every robots.txt response
+      () => if (cfg.storeDocs) fetched
+        .where(col("isRobots"))
+        .select(col("url"), col("schemeAuthority"), col("status"),
+          col("excClass"), col("robotsPrefixes"))
+        .write.mode(SaveMode.Overwrite).parquet(appendDir("robots_fetches", round)),
+      () => if (cfg.storeDocs) {
+        docs.where(col("__store"))
+          .select(col("url").as("doc_id"), col("schemeAuthority"), col("spans"),
+            col("digest"), col("status"), col("is_duplicate"), col("truncated"),
+            size(coalesce(col("links"), array())).as("n_links")) // round = partition dir
+          .write.mode(SaveMode.Overwrite).parquet(appendDir("docs", round))
+        newDigests.write.mode(SaveMode.Overwrite).parquet(appendDir("digests", round))
+        duplicates = docs.where(col("is_duplicate")).count()
+      },
+      () => { dedupIn = parsedLinks.count() })
 
     val blooms = bloomFilters(st)
     val broadcastProbe = dedupIn <= cfg.probeThreshold
     // parentSeq bounds of this round's links drive the deterministic rank
-    // buckets (tiny agg over the cached fetch results)
-    val seqBounds = fetched.agg(min("seq"), max("seq")).collect()(0)
+    // buckets (from the fetch-materialization job's scalars)
     val (loSeq, hiSeq) =
-      if (seqBounds.isNullAt(0)) (0L, 0L) else (seqBounds.getLong(0), seqBounds.getLong(1))
+      if (fetchStats.isNullAt(1)) (0L, 0L) else (fetchStats.getLong(1), fetchStats.getLong(2))
     // first new seq is exactly maxSeq (dense continuation of enqueue
     // order); the sieve output is materialized ONCE (lc) — the rank count
     // pass, the rank pass, the seen append, and the bloom delta reuse it
@@ -619,7 +682,6 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
     val (sieved, sieveOut) = Sieve.assignSeq(
       sievedInput, Seq("parentSeq", "linkIdx"), startSeq = maxSeq - 1L,
       Sieve.linearBuckets(col("parentSeq"), loSeq, hiSeq, math.max(1, cfg.statePartitions)))
-    extendBloom(st, sievedInput, sieveOut, round)
 
     // budget: enforced at sieve exit like Frontier.append (Frontier.java:810-814)
     val newFrontierAll = toFrontier(sieved.select("url", "urlHash", "seq"))
@@ -634,10 +696,15 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
           .drop("__r", "stored")
       })
 
-    // seen append: ALL sieved urls (even budget-dropped ones are "seen" —
-    // the reference sieve recorded them before append()'s budget re-check)
-    sievedInput.select("urlHash")
-      .write.mode(SaveMode.Overwrite).parquet(appendDir("seen", round))
+    var newDelta: DataFrame = null
+    inParallel(
+      // seen append: ALL sieved urls (even budget-dropped ones are "seen"
+      // — the reference sieve recorded them before append()'s budget
+      // re-check)
+      () => sievedInput.select("urlHash")
+        .write.mode(SaveMode.Overwrite).parquet(appendDir("seen", round)),
+      () => extendBloom(st, sievedInput, sieveOut, round),
+      () => { newDelta = lc(newFrontier.select(st.frontier.columns.map(col): _*)) })
 
     // --- per-host state machine (reference ParsingThread.java:253-312) ---
     val hostAgg = fetched.groupBy("hostHash").agg(
@@ -676,16 +743,18 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
     // all transition columns are computed against the ORIGINAL host row in
     // one select (no withColumn chains — later columns must not see
     // earlier overwrites)
-    val backoff = lit(now) + waitC * pow(lit(2.0), retriesNew.cast("double")).cast("long")
+    val nowRef = ref_long(now, "now")
+    val hostDelayRef = ref_long(now + cfg.hostDelay, "nowHostDelay")
+    val backoff = nowRef + waitC * pow(lit(2.0), retriesNew.cast("double")).cast("long")
     val storedNew = col("stored") + coalesce(col("__stored"), lit(0L))
     val hostsU = hosts
       .join(broadcast(hostAgg.withColumn("__touched", lit(true))), Seq("hostHash"), "left")
       .select(
         col("schemeAuthority"), col("hostHash"), col("ipHash"),
         when(touched.isNull, col("nextFetch"))
-          .when(excC.isNull, lit(now + cfg.hostDelay))
+          .when(excC.isNull, hostDelayRef)
           .when(retryable, backoff)
-          .otherwise(lit(now + cfg.hostDelay)).as("nextFetch"),
+          .otherwise(hostDelayRef).as("nextFetch"),
         storedNew.as("stored"),
         (col("robotsDone") || coalesce(col("__robotsFetched"), lit(false))).as("robotsDone"),
         (col("purged") || coalesce(touched && purgeByExc, lit(false)) ||
@@ -713,38 +782,22 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
       .where(!col("isRobots") && col("excClass").isNull).select("urlHash")
     val tombstoneDelta = completedUrls.unionByName(disallowed).unionByName(droppedUrls)
 
-    val newDelta = lc(newFrontier.select(st.frontier.columns.map(col): _*))
     val frontierNext = st.frontier.unionByName(newDelta)
-    val tombstonesNext = st.tombstones.unionByName(tombstoneDelta).transform(lc)
-    val tombRowsNext = tombstonesNext.count() // cheap: counts the lc'd blocks
     val dedupOut =
       if (cfg.maxUrlsPerHost == Long.MaxValue) sieveOut else newDelta.count()
-    val pendingRowsNext = st.pendingRows + dedupOut - (tombRowsNext - st.tombRows)
 
     val hostsNext = hostsU.select(hostCols.map(col): _*)
       .unionByName(newHostsFrom(newDelta, hosts))
     val ipTouched = fetched.select("ipHash").distinct()
     val ipsNext = ips
       .join(broadcast(ipTouched.withColumn("__hit", lit(true))), Seq("ipHash"), "left")
-      .withColumn("nextFetch", when(col("__hit"), lit(now + cfg.ipDelay)).otherwise(col("nextFetch")))
+      .withColumn("nextFetch", when(col("__hit"), ref_long(now + cfg.ipDelay, "nowIpDelay")).otherwise(col("nextFetch")))
       .drop("__hit")
       .unionByName(newIpsFrom(newDelta, ips))
-
-    // adaptive front growth: a saturated round doubles the cap
-    val frontSizeNext =
-      if (!frontActive) st.frontSize
-      else {
-        val selHosts = fetched.select("hostHash").distinct().count()
-        if (selHosts >= st.frontSize) {
-          val grown = st.frontSize * cfg.frontGrowth
-          if (grown > 0) grown else Long.MaxValue
-        } else st.frontSize
-      }
 
     // --- per-partition lineage + metrics (north_rule): per-partition rows
     // carry only per-partition quantities; round-global quantities live on
     // ONE partition_id=-1 row ---
-    val duplicates = if (cfg.storeDocs) docs.where(col("is_duplicate")).count() else 0L
     val perPartition = fetched
       .withColumn("partition_id", spark_partition_id())
       .groupBy("partition_id")
@@ -752,20 +805,54 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
         sum(when(col("isRobots") && col("excClass").isNull, 1L).otherwise(0L)).as("robots_fetched"),
         sum(when(col("status") === 200 && !col("isRobots"), 1L).otherwise(0L)).as("parsed"),
         sum(when(col("excClass").isNotNull, 1L).otherwise(0L)).as("failed"),
-        sum(size(coalesce(col("links"), array()))).cast("long").as("links_out"))
+        sum(size(coalesce(col("links"), array()))).cast("long").as("links_out"),
+        // bytes + media-span counters (reference Frontier transferredBytes
+        // / contentType-class counters); null spans (parse-gated) skip
+        sum(aggregate(transform(col("spans"), s => length(s.getField("text"))),
+          lit(0), (a, x) => a + x)).cast("long").as("bytes_fetched"),
+        sum(size(filter(col("spans"), s => s.getField("kind") === "media")))
+          .cast("long").as("media_spans"))
+      .na.fill(0L, Seq("bytes_fetched", "media_spans"))
       .withColumn("dedup_in", lit(0L))
       .withColumn("dedup_out", lit(0L))
       .withColumn("duplicates", lit(0L))
-    val globalRow = Seq((-1, 0L, 0L, 0L, 0L, 0L, dedupIn, dedupOut, duplicates))
+    val globalRow = Seq((-1, 0L, 0L, 0L, 0L, 0L, 0L, 0L, dedupIn, dedupOut, duplicates))
       .toDF("partition_id", "fetched", "robots_fetched", "parsed", "failed",
-        "links_out", "dedup_in", "dedup_out", "duplicates")
-    perPartition
+        "links_out", "bytes_fetched", "media_spans", "dedup_in", "dedup_out", "duplicates")
+    val metricsOut = perPartition
       .select("partition_id", "fetched", "robots_fetched", "parsed", "failed",
-        "links_out", "dedup_in", "dedup_out", "duplicates")
+        "links_out", "bytes_fetched", "media_spans", "dedup_in", "dedup_out", "duplicates")
       .unionByName(globalRow) // round = partition dir
-      .write.mode(SaveMode.Overwrite).parquet(appendDir("metrics", round))
 
     // --- commit: snapshot on cadence, thread state in memory otherwise ---
+    // all state materializations + the metrics sink are independent
+    val snapDue = cfg.checkpointEvery <= 1 || round % cfg.checkpointEvery == 0
+    var tombstonesNext: DataFrame = null
+    var tombRowsNext = 0L
+    var hNextMem: DataFrame = null
+    var iNextMem: DataFrame = null
+    var digestsLc: DataFrame = null
+    var selHosts = 0L
+    inParallel(
+      () => {
+        tombstonesNext = st.tombstones.unionByName(tombstoneDelta).transform(lc)
+        tombRowsNext = tombstonesNext.count() // cheap: counts the lc'd blocks
+      },
+      () => metricsOut.write.mode(SaveMode.Overwrite).parquet(appendDir("metrics", round)),
+      () => if (!snapDue) hNextMem = hostsNext.transform(lc),
+      () => if (!snapDue) iNextMem = ipsNext.transform(lc),
+      () => if (cfg.storeDocs) digestsLc = newDigests.transform(lc),
+      () => if (frontActive) selHosts = fetched.select("hostHash").distinct().count())
+
+    // adaptive front growth: a saturated round doubles the cap
+    val frontSizeNext =
+      if (!frontActive) st.frontSize
+      else if (selHosts >= st.frontSize) {
+        val grown = st.frontSize * cfg.frontGrowth
+        if (grown > 0) grown else Long.MaxValue
+      } else st.frontSize
+    val pendingRowsNext = st.pendingRows + dedupOut - (tombRowsNext - st.tombRows)
+
     val compactedNext = frontierNext
       .join(broadcast(tombstonesNext), Seq("urlHash"), "left_anti")
     val snapped = maybeSnapshot(round, compactedNext, hostsNext, ipsNext,
@@ -780,15 +867,15 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
       if (snapped)
         (spark.read.parquet(stateDir(round, "hosts")),
           spark.read.parquet(stateDir(round, "ips")))
-      else (hostsNext.transform(lc), ipsNext.transform(lc))
+      else (hNextMem, iNextMem)
     val seenNext = seen.unionByName(sievedInput.select("urlHash"))
     val digestsNext =
-      if (cfg.storeDocs) st.digests.unionByName(newDigests.transform(lc))
+      if (cfg.storeDocs) st.digests.unionByName(digestsLc)
       else st.digests
     live = Some(LiveState(round, maxSeq + sieveOut, frontSizeNext, fNext, hNext, iNext,
       seenNext, digestsNext, tombNext, pendingRowsNext, tombRowsFinal))
 
-    fetched0.unpersist(); exploded.unpersist(); selected.unpersist()
+    fetched0.unpersist(); selected.unpersist()
     parsedLinks.unpersist(); hostsU.unpersist()
     if (cfg.storeDocs) docs.unpersist()
     fetchedCount
@@ -868,6 +955,17 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
     else spark.read.parquet(s"$workDir/metrics")
       .where(col("round") <= lastAppendRound())
       .select("round", "partition_id", "fetched", "robots_fetched", "parsed",
-        "failed", "links_out", "dedup_in", "dedup_out", "duplicates")
+        "failed", "links_out", "bytes_fetched", "media_spans",
+        "dedup_in", "dedup_out", "duplicates")
+  }
+
+  /** All stored robots.txt responses (the robots WARC stream analog;
+    * single pruned scan, round = partition col). */
+  def robotsFetches(): DataFrame = {
+    if (!exists(s"$workDir/robots_fetches"))
+      Seq.empty[(String, String, Int, String, Seq[String], Int)]
+        .toDF("url", "schemeAuthority", "status", "excClass", "robotsPrefixes", "round")
+    else spark.read.parquet(s"$workDir/robots_fetches")
+      .where(col("round") <= lastAppendRound())
   }
 }

@@ -138,8 +138,12 @@ object Sieve {
   /** Monotone bucket id for [[assignSeq]]: a linear split of `[lo, hi]`
     * into `parts` buckets by the leading order column. */
   def linearBuckets(c: Column, lo: Long, hi: Long, parts: Int): Column = {
+    import graft.functions.ref_long
+    // lo/hi vary per round: reference-backed values keep the rank stage's
+    // generated code identical across rounds (codegen cache hits)
     if (hi <= lo) lit(0L)
     else least(lit(parts - 1L), greatest(lit(0L),
-      ((c - lit(lo)) * lit(parts.toLong)) / lit(hi - lo + 1L))).cast("long")
+      ((c - ref_long(lo, "bklo")) * lit(parts.toLong)) /
+        ref_long(hi - lo + 1L, "bkspan"))).cast("long")
   }
 }

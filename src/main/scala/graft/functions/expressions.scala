@@ -47,6 +47,25 @@ case class Murmur64Bubing(child: Expression, seed: Long) extends UnaryExpression
   override def prettyName: String = "murmur64_bubing"
 }
 
+/** A long "literal" carried as a REFERENCE OBJECT instead of being
+  * inlined into generated code: structurally identical plans that differ
+  * only in this value produce byte-identical codegen source, so the
+  * crawler's per-round plans (which embed `now = round`) hit the codegen
+  * cache instead of recompiling ~200 stages every round. */
+case class RefLong(value: Long, tag: String) extends org.apache.spark.sql.catalyst.expressions.LeafExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def foldable: Boolean = false // keep it out of constant folding
+  override def eval(input: InternalRow): Any = value
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj(s"refLong_$tag", java.lang.Long.valueOf(value))
+    ev.copy(
+      code = code"final long ${ev.value} = ((java.lang.Long) $ref).longValue();",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+  override def prettyName: String = "ref_long"
+}
+
 /** Base for interpreted (non-codegen) string->string scalar expressions. */
 abstract class InterpretedUnary extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback

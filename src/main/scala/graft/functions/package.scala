@@ -24,6 +24,11 @@ package object functions {
     mkCol(TopKHeads(toExpr(seq), toExpr(url), toExpr(urlHash), k)
       .toAggregateExpression())
 
+  /** A long value injected as a plan reference object (not an inlined
+    * literal): round-varying scalars keep codegen sources stable. The
+    * `tag` keeps distinct uses from unifying in the reference table. */
+  def ref_long(value: Long, tag: String): Column = mkCol(RefLong(value, tag))
+
   /** Deterministic synthetic DNS: host -> ip id in [0, space). */
   def ip_of_host(c: Column, space: Long = 1L << 20): Column = mkCol(IpOfHost(toExpr(c), space))
 

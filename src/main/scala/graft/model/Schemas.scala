@@ -104,6 +104,8 @@ case class RoundMetrics(
     parsed: Long,
     failed: Long,
     links_out: Long,
+    bytes_fetched: Long,
+    media_spans: Long,
     dedup_in: Long,
     dedup_out: Long,
     duplicates: Long)

@@ -37,6 +37,35 @@ class PlanQualitySpec extends AnyFunSuite {
       s"filters not pushed:\n$plan")
   }
 
+  test("politeness heads: one object-hash aggregation, no frontier window/sort") {
+    import spark.implicits._
+    val frontier = (1L to 1000L)
+      .map(i => (s"http://h${i % 37}.example/p$i", i, i % 37, i % 11, i))
+      .toDF("url", "urlHash", "hostHash", "ipHash", "seq")
+    val heads = frontier.groupBy("hostHash")
+      .agg(graft.functions.topk_heads(col("seq"), col("url"), col("urlHash"), 4).as("heads"))
+    val plan = finalPlan(heads)
+    assert(plan.contains("ObjectHashAggregate") && plan.contains("topk_heads"),
+      s"heads must be an object hash aggregation:\n$plan")
+    assert(!plan.contains("Window"), s"no window on the frontier path:\n$plan")
+    // correctness of the aggregate itself
+    val h0 = heads.where(col("hostHash") === 0).select(explode(col("heads")).as("h"))
+      .select(col("h.seq")).as[Long].collect().toSeq
+    assert(h0 == (1L to 1000L).filter(_ % 37 == 0).sorted.take(4))
+  }
+
+  test("sieve seq assignment: no RangePartitioner sampling, bucketed rank") {
+    import spark.implicits._
+    val batch = (1L to 500L).map(i => (s"u$i", i, i / 50, i % 50)).toDF("url", "urlHash", "parentSeq", "linkIdx")
+    val (ranked, n) = graft.frontier.Sieve.assignSeq(
+      batch, Seq("parentSeq", "linkIdx"), startSeq = -1L,
+      graft.frontier.Sieve.linearBuckets(col("parentSeq"), 0, 10, 4))
+    val plan = finalPlan(ranked)
+    assert(!plan.toLowerCase.contains("rangepartitioning"),
+      s"rank must not range-partition (sampling pass):\n$plan")
+    assert(n == 500)
+  }
+
   test("column pruning: 2-column projection reads a 2-column schema") {
     val df = spark.read.parquet(s"$sf/lineitem.parquet")
       .select("l_orderkey", "l_quantity")

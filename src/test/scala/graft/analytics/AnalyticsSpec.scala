@@ -104,6 +104,25 @@ class AnalyticsSpec extends AnyFunSuite {
     lsh.foreach(r => assert(math.abs(brute(r.getAs[Long]("id")) - r.getAs[Double]("cosine")) < 1e-12))
   }
 
+  test("bucket-partitioned LSH layout: partition-pruned scan, same results") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val emb = (1L to 300L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = Array.fill(16)(rnd.nextGaussian())
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-bucketed").toString
+    Similarity.writeBucketed(emb, "vec_id", "embedding", dir, planes = 4)
+    val viaFilter = Similarity.lshTopK(emb, "vec_id", "embedding", q, 10, planes = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val bucketed = Similarity.lshTopKBucketed(spark, dir, q, 10, planes = 4)
+    val viaPartitions = bucketed.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(viaFilter == viaPartitions, "bucketed layout changed the result set")
+    // pruning is real: the scan must carry partition filters on `bucket`
+    val planStr = bucketed.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") && planStr.contains("bucket"),
+      s"expected partition pruning in plan:\n$planStr")
+  }
+
   test("LSH skew guard: a degenerate corpus (identical docs) stays bounded") {
     import spark.implicits._
     // 3000 identical docs + 4 distinct: without the bucket cap every band

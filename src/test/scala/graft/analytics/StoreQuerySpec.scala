@@ -80,6 +80,20 @@ class StoreQuerySpec extends AnyFunSuite {
     gm.unpersist()
   }
 
+  test("robots store sink records every robots.txt response") {
+    val rf = crawler.robotsFetches()
+    val nRobotsTrace = crawler.trace().where(col("isRobots")).count()
+    assert(rf.count() == nRobotsTrace, "one robots_fetches row per robots fetch")
+    assert(rf.where(col("status") === 200 && col("robotsPrefixes").isNull).count() == 0,
+      "successful robots fetches carry their parsed prefixes")
+  }
+
+  test("metrics carry byte and media-span counters") {
+    val m = crawler.metrics()
+    assert(m.agg(sum("bytes_fetched")).collect()(0).getLong(0) > 0)
+    assert(m.agg(sum("media_spans")).collect()(0).getLong(0) > 0)
+  }
+
   test("speed histogram bins per-host bytes/round") {
     val h = CrawlStats.speedHistogram(crawler.docs()).collect()
     assert(h.nonEmpty)
