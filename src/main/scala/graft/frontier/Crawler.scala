@@ -853,8 +853,13 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
       } else st.frontSize
     val pendingRowsNext = st.pendingRows + dedupOut - (tombRowsNext - st.tombRows)
 
+    // compaction/snapshot uses a fully DISTRIBUTED anti-join (no driver-
+    // built broadcast: at compaction the tombstone set is millions of
+    // rows and the driver-side hash-relation build is a non-scaling cost;
+    // the per-round pending view keeps the broadcast because between
+    // compactions the set stays small)
     val compactedNext = frontierNext
-      .join(broadcast(tombstonesNext), Seq("urlHash"), "left_anti")
+      .join(tombstonesNext.hint("shuffle_merge"), Seq("urlHash"), "left_anti")
     val snapped = maybeSnapshot(round, compactedNext, hostsNext, ipsNext,
       maxSeq + sieveOut, frontSizeNext, force = false)
     val (fNext, tombNext, tombRowsFinal) =
@@ -894,7 +899,7 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
     if (!exists(stateDir(st.round, "scalars") + "/_SUCCESS")) {
       val compacted =
         if (st.tombRows == 0) st.frontier
-        else st.frontier.join(broadcast(st.tombstones), Seq("urlHash"), "left_anti")
+        else st.frontier.join(st.tombstones.hint("shuffle_merge"), Seq("urlHash"), "left_anti")
       writeState(st.round, compacted, st.hosts, st.ips, st.maxSeq, st.frontSize)
     }
   }

@@ -60,6 +60,24 @@ object HtmlParser {
     "tbody", "td", "template", "textarea", "tfoot", "th", "thead", "time",
     "title", "tr", "track", "tt", "u", "ul", "var", "video", "wbr")
 
+  // cached tag byte markers (DigestAppendable.startTags/endTags,
+  // HTMLParser.java:184-198): one array per known element, no per-tag
+  // string concatenation on the digest path
+  private val StartTagBytes: Map[String, Array[Byte]] =
+    KnownElements.iterator.map(n => n -> s"<$n>".getBytes("ISO-8859-1")).toMap
+  private val EndTagBytes: Map[String, Array[Byte]] =
+    KnownElements.iterator.map(n => n -> s"</$n>".getBytes("ISO-8859-1")).toMap
+  private val UnknownStart = "<unknown>".getBytes("ISO-8859-1")
+  private val UnknownEnd = "</unknown>".getBytes("ISO-8859-1")
+
+  /** canonical lowercase instances for known element names (avoids a
+    * fresh lowercase string per tag on the hot path) */
+  private val CanonicalNames: java.util.HashMap[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    KnownElements.foreach(n => m.put(n, n))
+    m
+  }
+
   private val BasicEntities = Map(
     "amp" -> '&', "lt" -> '<', "gt" -> '>', "quot" -> '"', "apos" -> '\'',
     "nbsp" -> ' ')
@@ -95,12 +113,13 @@ object HtmlParser {
       var i = 0
       while (i < s.length) { bytes += (s.charAt(i) & 0xff).toByte; i += 1 }
     }
+    def appendRawBytes(a: Array[Byte]): Unit = { bytes ++= a }
     def startTag(name: String): Unit = {
-      appendRaw(if (KnownElements(name)) "<" + name + ">" else "<unknown>")
+      appendRawBytes(StartTagBytes.getOrElse(name, UnknownStart))
       lastWasSpace = false
     }
     def endTag(name: String): Unit = {
-      appendRaw(if (KnownElements(name)) "</" + name + ">" else "</unknown>")
+      appendRawBytes(EndTagBytes.getOrElse(name, UnknownEnd))
       lastWasSpace = false
     }
     def digest(): String = {
@@ -161,36 +180,67 @@ object HtmlParser {
     start + 1
   }
 
-  private final case class Tag(name: String, end: Boolean, selfClosing: Boolean,
-      attrs: Map[String, String], next: Int)
+  /** Reusable per-parse tag holder: only the attributes a tag kind can
+    * act on are extracted (href/src/data + rel / http-equiv + content) —
+    * no per-tag attribute map on the hot path. */
+  private final class TagScratch {
+    var name: String = _
+    var end = false
+    var selfClosing = false
+    var next = 0
+    var urlAttr: String = _ // href / src / data (by tag kind)
+    var relOrEquiv: String = _ // rel (a) or http-equiv (meta)
+    var content: String = _ // content (meta)
+  }
 
-  /** Parse one tag starting at `i` (s(i) == '<'). Returns null if this is
-    * not a tag (the '<' is text). */
-  private def parseTag(s: String, i: Int): Tag = {
+  @inline private def attrNameIs(s: String, from: Int, to: Int, expect: String): Boolean =
+    to - from == expect.length && s.regionMatches(true, from, expect, 0, expect.length)
+
+  /** Parse one tag starting at `i` (s(i) == '<') into `t`. Returns false
+    * if this is not a tag (the '<' is literal text). */
+  private def parseTag(s: String, i: Int, t: TagScratch): Boolean = {
     val n = s.length
     var j = i + 1
-    if (j >= n) return null
+    if (j >= n) return false
     val isEnd = s.charAt(j) == '/'
     if (isEnd) j += 1
     val nameStart = j
-    while (j < n && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '-' || s.charAt(j) == ':')) j += 1
-    if (j == nameStart) return null // "<" followed by non-name: literal text
-    val name = s.substring(nameStart, j).toLowerCase
+    var anyUpper = false
+    while (j < n && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '-' || s.charAt(j) == ':')) {
+      if (s.charAt(j) >= 'A' && s.charAt(j) <= 'Z') anyUpper = true
+      j += 1
+    }
+    if (j == nameStart) return false // "<" followed by non-name: literal text
+    val rawName = s.substring(nameStart, j)
+    val lowered = if (anyUpper) rawName.toLowerCase else rawName
+    val canonical = CanonicalNames.get(lowered)
+    val name = if (canonical != null) canonical else lowered
+    // which attributes this tag kind can act on
+    val (wantUrl, wantRel, wantContent) = name match {
+      case "a" => ("href", "rel", null)
+      case "area" | "link" | "base" => ("href", null, null)
+      case "img" | "script" | "iframe" | "frame" | "embed" => ("src", null, null)
+      case "object" => ("data", null, null)
+      case "meta" => (null, "http-equiv", "content")
+      case _ => (null, null, null)
+    }
+    t.name = name; t.end = isEnd; t.selfClosing = false
+    t.urlAttr = null; t.relOrEquiv = null; t.content = null
     // scan attributes up to '>'
-    val attrs = mutable.Map.empty[String, String]
-    var selfClosing = false
     while (j < n && s.charAt(j) != '>') {
       val c = s.charAt(j)
-      if (c == '/' && j + 1 < n && s.charAt(j + 1) == '>') { selfClosing = true; j += 1 }
+      if (c == '/' && j + 1 < n && s.charAt(j + 1) == '>') { t.selfClosing = true; j += 1 }
       else if (c.isWhitespace) j += 1
       else {
         // attribute name
         val as = j
         while (j < n && s.charAt(j) != '=' && s.charAt(j) != '>' && s.charAt(j) != '/' &&
           !s.charAt(j).isWhitespace) j += 1
-        val aname = s.substring(as, j).toLowerCase
+        val ae = j
         // skip ws
         while (j < n && s.charAt(j).isWhitespace) j += 1
+        var value: String = null
+        var hasValue = false
         if (j < n && s.charAt(j) == '=') {
           j += 1
           while (j < n && s.charAt(j).isWhitespace) j += 1
@@ -198,7 +248,12 @@ object HtmlParser {
             val q = s.charAt(j); j += 1
             val vs = j
             while (j < n && s.charAt(j) != q) j += 1
-            if (aname.nonEmpty) attrs(aname) = s.substring(vs, math.min(j, n))
+            hasValue = true
+            // extract lazily below only if the name matches a wanted attr
+            if ((wantUrl != null && attrNameIs(s, as, ae, wantUrl)) ||
+                (wantRel != null && attrNameIs(s, as, ae, wantRel)) ||
+                (wantContent != null && attrNameIs(s, as, ae, wantContent)))
+              value = s.substring(vs, math.min(j, n))
             if (j < n) j += 1
           } else {
             val vs = j
@@ -207,16 +262,30 @@ object HtmlParser {
             // HTML quirks unless immediately before '>'
             var ve = j
             if (ve > vs && ve < n && s.charAt(ve - 1) == '/' && s.charAt(ve) == '>') {
-              ve -= 1; selfClosing = true
+              ve -= 1; t.selfClosing = true
             }
-            if (aname.nonEmpty) attrs(aname) = s.substring(vs, ve)
+            hasValue = true
+            if ((wantUrl != null && attrNameIs(s, as, ae, wantUrl)) ||
+                (wantRel != null && attrNameIs(s, as, ae, wantRel)) ||
+                (wantContent != null && attrNameIs(s, as, ae, wantContent)))
+              value = s.substring(vs, ve)
           }
-        } else if (aname.nonEmpty) attrs(aname) = null
-        else j += 1 // lone junk char
+        }
+        if (ae > as && value != null) {
+          if (wantUrl != null && attrNameIs(s, as, ae, wantUrl)) t.urlAttr = value
+          else if (wantRel != null && attrNameIs(s, as, ae, wantRel)) t.relOrEquiv = value
+          else if (wantContent != null && attrNameIs(s, as, ae, wantContent)) t.content = value
+        } else if (ae > as && !hasValue) {
+          // valueless attribute: rel=nofollow needs a non-null marker only
+          // when the attr had a value; bare flags stay null (the reference
+          // reads getAttributeValue which is null for valueless attrs)
+          ()
+        } else if (ae == as) j += 1 // lone junk char
       }
     }
-    if (j >= n) return null // unterminated tag: treat as text
-    Tag(name, isEnd, selfClosing, attrs.toMap, j + 1)
+    if (j >= n) return false // unterminated tag: treat as text
+    t.next = j + 1
+    true
   }
 
   private val UrlEqualsPattern = "(?i)URL=".r
@@ -260,6 +329,7 @@ object HtmlParser {
     var i = 0
     var inSpecialText = 0
     val text = new StringBuilder
+    val tag = new TagScratch
 
     def flushText(): Unit = {
       if (text.nonEmpty) {
@@ -287,8 +357,7 @@ object HtmlParser {
           val close = html.indexOf('>', i + 1)
           i = if (close < 0) n else close + 1
         } else {
-          val tag = parseTag(html, i)
-          if (tag == null) { text.append(c); i += 1 }
+          if (!parseTag(html, i, tag)) { text.append(c); i += 1 }
           else {
             flushText()
             i = tag.next
@@ -301,37 +370,31 @@ object HtmlParser {
               if ((name == "style" || name == "script") && !tag.selfClosing)
                 inSpecialText += 1
               digester.startTag(name)
-              if (name == "iframe" || name == "frame") tag.attrs.get("src").foreach { s =>
-                if (s != null) { digester.append('"'); digester.append(s); digester.append('"') }
+              if ((name == "iframe" || name == "frame") && tag.urlAttr != null) {
+                digester.append('"'); digester.append(tag.urlAttr); digester.append('"')
               }
               name match {
-                case "iframe" | "frame" | "embed" =>
-                  val r = resolve(base, tag.attrs.getOrElse("src", null))
-                  links.add(r); addMediaSpan(r)
-                case "img" =>
-                  val r = resolve(base, tag.attrs.getOrElse("src", null))
+                case "iframe" | "frame" | "embed" | "img" | "object" =>
+                  val r = resolve(base, tag.urlAttr)
                   links.add(r); addMediaSpan(r)
                 case "script" =>
-                  links.add(resolve(base, tag.attrs.getOrElse("src", null)))
-                case "object" =>
-                  val r = resolve(base, tag.attrs.getOrElse("data", null))
-                  links.add(r); addMediaSpan(r)
+                  links.add(resolve(base, tag.urlAttr))
                 case "a" =>
-                  val rel = tag.attrs.getOrElse("rel", null)
+                  val rel = tag.relOrEquiv
                   if (returnNoFollow || rel == null || !rel.equalsIgnoreCase("nofollow"))
-                    links.add(resolve(base, tag.attrs.getOrElse("href", null)))
+                    links.add(resolve(base, tag.urlAttr))
                 case "area" | "link" =>
-                  links.add(resolve(base, tag.attrs.getOrElse("href", null)))
+                  links.add(resolve(base, tag.urlAttr))
                 case "base" =>
-                  val b = tag.attrs.getOrElse("href", null)
+                  val b = tag.urlAttr
                   if (b != null) {
                     val parsed = resolve(base, b)
                     // only absolute BASE rebases (HTMLParser.java:559-568)
                     if (parsed != null && b.contains("://")) base = parsed
                   }
                 case "meta" =>
-                  val equiv = tag.attrs.getOrElse("http-equiv", "")
-                  val content = tag.attrs.getOrElse("content", null)
+                  val equiv = tag.relOrEquiv
+                  val content = tag.content
                   if (equiv != null && content != null) {
                     if (equiv.equalsIgnoreCase("refresh")) {
                       UrlEqualsPattern.findFirstMatchIn(content).foreach { m =>
