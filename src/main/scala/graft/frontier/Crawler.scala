@@ -249,7 +249,7 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
     val (newUrls, _) = Sieve.assignSeq(
       Sieve.newUrls(candidates, emptySeen, Seq("parentSeq", "linkIdx")).transform(lc),
       Seq("parentSeq", "linkIdx"), startSeq = -1L, // seqs from 0
-      Sieve.linearBuckets(col("linkIdx"), 0, cfg.nSeeds - 1L, parts))
+      Sieve.linearBuckets(col("linkIdx"), 0, cfg.nSeeds - 1L, parts * 8))
 
     val frontier = toFrontier(newUrls).transform(lc)
     frontier.select("urlHash").write.mode(SaveMode.Overwrite).parquet(appendDir("seen", 0))
@@ -679,9 +679,12 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
     val sievedInput = Sieve
       .newUrls(parsedLinks, seen, Seq("parentSeq", "linkIdx"), blooms, broadcastProbe)
       .transform(lc)
+    // 8x-oversplit buckets: parentSeq density is uneven (popular hosts
+    // sit at low seqs), so fine-grained monotone buckets keep the rank
+    // window's tasks balanced
     val (sieved, sieveOut) = Sieve.assignSeq(
       sievedInput, Seq("parentSeq", "linkIdx"), startSeq = maxSeq - 1L,
-      Sieve.linearBuckets(col("parentSeq"), loSeq, hiSeq, math.max(1, cfg.statePartitions)))
+      Sieve.linearBuckets(col("parentSeq"), loSeq, hiSeq, math.max(8, cfg.statePartitions * 8)))
 
     // budget: enforced at sieve exit like Frontier.append (Frontier.java:810-814)
     val newFrontierAll = toFrontier(sieved.select("url", "urlHash", "seq"))
@@ -866,7 +869,13 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
       if (snapped)
         (spark.read.parquet(stateDir(round, "frontier")), emptyTombstones, 0L)
       else if (tombRowsNext >= cfg.tombstoneCompactRows)
-        (compactedNext.transform(lc), emptyTombstones, 0L) // amortized GC
+        // amortized GC; re-spread by hostHash: the SMJ output would
+        // otherwise collapse to shuffle.partitions partitions whose
+        // per-partition distinct-host counts push the heads aggregation
+        // into its sort-based fallback (and hostHash layout lets the next
+        // heads groupBy skip its exchange entirely)
+        (compactedNext.repartition(cfg.statePartitions * 4, col("hostHash"))
+          .transform(lc), emptyTombstones, 0L)
       else (frontierNext, tombstonesNext, tombRowsNext)
     val (hNext, iNext) =
       if (snapped)
