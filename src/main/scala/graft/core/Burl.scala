@@ -126,8 +126,98 @@ object Burl {
     sb.toString
   }
 
+  /** Fast-path detector: true only for specs that are PROVABLY fixed
+    * points of [[parse]] — lowercase http(s) scheme, lowercase
+    * [a-z0-9.]-host with no empty labels / trailing dot / port /
+    * userinfo, a '/'-rooted path of unreserved+sub-delim ASCII with no
+    * dot segments, optional query, no '%', no '#', no whitespace. The
+    * overwhelming majority of crawl outlinks hit this (java.net.URI
+    * construction otherwise dominates the link-normalization stage);
+    * anything else falls through to the full reference-semantics path.
+    * Equivalence is property-tested against the slow path in BurlSpec. */
+  private[core] def isFastCanonical(s: String): Boolean = {
+    val n = s.length
+    if (n < 9 || n > 4096) return false
+    var i =
+      if (s.startsWith("http://")) 7
+      else if (s.startsWith("https://")) 8
+      else return false
+    // host: [a-z0-9.]+, no leading/trailing/double dots
+    val hostStart = i
+    var prev = '.'
+    var c = ' '
+    while (i < n && { c = s.charAt(i); c != '/' }) {
+      if (!((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '.')) return false
+      if (c == '.' && prev == '.') return false
+      prev = c
+      i += 1
+    }
+    if (i == hostStart || prev == '.') return false // empty host / trailing dot
+    if (!fastHostOk(s.substring(hostStart, i))) return false
+    if (i >= n) return false // no path: parse() appends '/', not a fixed point
+    // path (until '?'): pchar-ish ASCII, no '%', track dot segments
+    val pathStart = i
+    var qIdx = -1
+    while (i < n && qIdx < 0) {
+      c = s.charAt(i)
+      if (c == '?') qIdx = i
+      else if (!isFastPathChar(c)) return false
+      else i += 1
+    }
+    val pathEnd = if (qIdx < 0) n else qIdx
+    // reject ".", ".." segments (URI.normalize would rewrite them)
+    var j = pathStart
+    while (j < pathEnd) {
+      if (s.charAt(j) == '/') {
+        var k = j + 1
+        while (k < pathEnd && s.charAt(k) != '/') k += 1
+        val len = k - (j + 1)
+        if (len == 1 && s.charAt(j + 1) == '.') return false
+        if (len == 2 && s.charAt(j + 1) == '.' && s.charAt(j + 2) == '.') return false
+        j = k
+      } else j += 1
+    }
+    if (qIdx >= 0) {
+      i = qIdx + 1
+      while (i < n) {
+        c = s.charAt(i)
+        if (!(isFastPathChar(c) || c == '?')) return false
+        i += 1
+      }
+    }
+    true
+  }
+
+  /** URI's server-authority rules: a digit-leading top label is only
+    * valid as a full IPv4 address (RFC 2396 toplabel starts with ALPHA;
+    * java.net.URI.parseServerAuthority rejects e.g. 300.1.2.3). */
+  private def fastHostOk(host: String): Boolean = {
+    val labels = host.split('.')
+    if (labels.isEmpty) return false
+    val last = labels(labels.length - 1)
+    if (last.isEmpty) return false
+    if (last.charAt(0) >= '0' && last.charAt(0) <= '9') {
+      labels.length == 4 && labels.forall { l =>
+        l.nonEmpty && l.length <= 3 && l.forall(ch => ch >= '0' && ch <= '9') && l.toInt <= 255
+      }
+    } else true
+  }
+
+  @inline private def isFastPathChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') ||
+      c == '/' || c == '-' || c == '.' || c == '_' || c == '~' || c == ':' || c == '@' ||
+      c == '!' || c == '$' || c == '&' || c == '\'' || c == '(' || c == ')' ||
+      c == '*' || c == '+' || c == ',' || c == ';' || c == '='
+
   /** Parse and normalize a URL spec; null if malformed (BURL.parse semantics). */
   def parse(spec0: String): String = {
+    if (spec0 == null) return null
+    if (isFastCanonical(spec0)) return spec0
+    parseSlow(spec0)
+  }
+
+  /** The full normalization path (pre-clean + java.net.URI + repack). */
+  private[core] def parseSlow(spec0: String): String = {
     if (spec0 == null) return null
     val spec = preClean(spec0)
     if (spec == null) return null

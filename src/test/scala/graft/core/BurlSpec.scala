@@ -133,6 +133,34 @@ class BurlSpec extends AnyFunSuite {
     assert(p("https://example.com:80/foo/bar.php?go=3&x=5") != p("https://example.com:443/foo/bar.php?go=3&x=5"))
   }
 
+  test("fast-path canonical detector agrees with the full parse (property)") {
+    val rnd = new scala.util.Random(17)
+    val cfg = graft.synth.SyntheticWeb.Config(sites = 500, degree = 6, maxDepth = 3)
+    val organic = (0 until 300).flatMap { _ =>
+      val page = graft.synth.SyntheticWeb.seedUrl(rnd.nextInt(400), cfg)
+      page +: graft.synth.SyntheticWeb.successors(page, cfg)
+    }
+    val mutations = Seq(
+      "http://EXample.com/a", "https://h.example:443/x", "http://h.example:80/x",
+      "http://h.example/a/../b", "http://h.example/a/./b", "http://h.example/a b",
+      "http://h.example/a%2fb", "http://h.example/a%2Fb", "http://h.example/a#frag",
+      "http://h.example", "http://h.example/", "http://h.example./x",
+      "http://300.1.2.3/x", "http://0.0.0.1/x", "http://h..e/x",
+      "http://h.example/a?b=c&d=e", "http://h.example/a?b=%", "ftp://h/x",
+      "mailto:a@b", "http://h.example/\u00e4", "http://user@h.example/x",
+      "http://h.example/a//b", "http://h.example/:colon", "http://h.example/a?q=?x",
+      "HTTP://h.example/x", "http://h-y.example/x", "http://h.example/a+b",
+      "http://01.02.003.4/x", "http://1.2.3.4.5/x", "http://abc/x.",
+      "http://h.example/..", "http://h.example/.", "http://h.example/a/..")
+    val chars = "abzAZ09-._~:/@!$&'()*+,;=%?# ".toCharArray
+    val fuzz = (0 until 2000).map { _ =>
+      "http://" + (0 until rnd.nextInt(30)).map(_ => chars(rnd.nextInt(chars.length))).mkString
+    }
+    for (spec <- organic ++ mutations ++ fuzz) {
+      assert(Burl.parse(spec) == Burl.parseSlow(spec), s"fast/slow divergence on: $spec")
+    }
+  }
+
   test("idempotence: parse(parse(x)) == parse(x)") {
     for (url <- Seq("http://a/ b/", "http://foo/Top/World/Espa\u00F1ol/", "http://a/%4",
         "HTTP://A.B:80/c/../a?x=1#f", "http://user@example.com:42/a/")) {
