@@ -177,6 +177,9 @@ object SparkEntry {
 
   // ---- rows-only (custom expressions; semantics covered by unit tests) ----
 
+  /** BURL normalization (THE identity operator) over a constructed spec
+    * family whose canonical form is SQL-expressible: lowercase scheme+host,
+    * drop :80, %20-encode the space, resolve /../, strip the fragment. */
   private def qBurlNormalize(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(t(dir, "documents"))
       .select(col("doc_id"),
@@ -185,7 +188,30 @@ object SparkEntry {
           lit("/../x#frag")).as("spec"))
       .withColumn("url", burl_parse(col("spec")))
       .withColumn("host", burl_host(col("url")))
-      .withColumn("url_hash", murmur64(col("url")))
+
+  /** murmur64 of the normalized URL — the custom-hash half of the old
+    * q_burl_normalize, split out so the normalization itself gets a full
+    * DuckDB oracle (rows-only: the hash is covered by golden vectors). */
+  private def qUrlHash(s: SparkSession, dir: String): DataFrame =
+    qBurlNormalize(s, dir).select(col("doc_id"), murmur64(col("url")).as("url_hash"))
+
+  /** Span-stream content digest (digest_of_spans): content-equality
+    * classes over the interleaved span model, host-seeded, digit/ws runs
+    * coalesced — a store-side re-digest that groups markup variants with
+    * identical span content (DigestAppendable semantics minus tags). */
+  private def qSpanDigest(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(t(dir, "documents"))
+      .select(col("doc_id").cast("long").as("doc_id"),
+        concat(lit("d"), col("doc_id").cast("string"), lit(".example")).as("host"),
+        array(
+          struct(lit("text").as("kind"), col("text").as("text"),
+            lit("").as("media_ref"), lit(0).as("offset")),
+          struct(lit("media").as("kind"), lit("").as("text"),
+            concat(lit("http://m.example/"), col("doc_id").cast("string"), lit(".jpg"))
+              .as("media_ref"), lit(1).as("offset"))).as("spans"))
+      .select(col("doc_id"),
+        digest_of_spans(col("host"), col("spans"), lit(200),
+          lit(null).cast("string")).as("span_digest"))
 
   private def qFingerprint(s: SparkSession, dir: String): DataFrame =
     TextStats.fingerprints(s.read.parquet(t(dir, "documents")), "doc_id", "text")
@@ -340,6 +366,8 @@ object SparkEntry {
     "q_lang_id" -> (qLangId(_, _)),
     "q_media_bytes" -> (qMediaBytes(_, _)),
     "q_burl_normalize" -> (qBurlNormalize(_, _)),
+    "q_url_hash" -> (qUrlHash(_, _)),
+    "q_span_digest" -> (qSpanDigest(_, _)),
     "q_fingerprint" -> (qFingerprint(_, _)),
     "q_simhash_pairs" -> (qSimhashPairs(_, _)),
     "q_minhash_pairs" -> (qMinhashPairs(_, _)),
@@ -480,6 +508,20 @@ object SparkEntry {
         |FROM s""".stripMargin,
     "q_media_bytes" ->
       "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents",
+    "q_burl_normalize" ->
+      """SELECT doc_id,
+        |  'HTTP://Host' || CAST(doc_id % 97 AS VARCHAR) || '.Example:80/A b/' ||
+        |    CAST(doc_id % 7 AS VARCHAR) || '/../x#frag' AS spec,
+        |  'http://host' || CAST(doc_id % 97 AS VARCHAR) || '.example/A%20b/x' AS url,
+        |  'host' || CAST(doc_id % 97 AS VARCHAR) || '.example' AS host
+        |FROM documents""".stripMargin,
+    "q_span_digest" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  md5('d' || CAST(doc_id AS VARCHAR) || '.example' || chr(0) ||
+        |      regexp_replace(text, '[0-9\s]+', ' ', 'g') ||
+        |      chr(0) || '"http://m.example/' || CAST(doc_id AS VARCHAR) || '.jpg"' || chr(0)
+        |  ) AS span_digest
+        |FROM documents""".stripMargin,
     "q_parse_spans" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, 0 AS "offset", 'text' AS kind,
         |       text AS span_text, '' AS media_ref

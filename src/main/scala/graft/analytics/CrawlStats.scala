@@ -27,15 +27,19 @@ object CrawlStats {
       .groupBy(floor(log2(greatest(col("bytes_per_round"), lit(1)))).cast("int").as("log2_bps"))
       .agg(count(lit(1)).as("n_host_rounds"), sum("bytes_per_round").as("total_bytes"))
 
-  /** Summary stats (count/mean/min/max/variance) of per-page outdegree
-    * (Frontier.java:348-356). Input: a docs table with n_links. */
+  /** Summary stats (count/mean/min/max/variance) of per-page outdegree,
+    * total and external (links to OTHER hosts — Frontier.java:349-353,
+    * ParsingThread.java:386-389). Input: a docs table with
+    * n_links / n_links_ext. */
   def outdegreeStats(docs: DataFrame): DataFrame =
     docs.agg(
       count(lit(1)).as("n_pages"),
       avg("n_links").as("mean_outdegree"),
       min("n_links").as("min_outdegree"),
       max("n_links").as("max_outdegree"),
-      var_samp("n_links").as("var_outdegree"))
+      var_samp("n_links").as("var_outdegree"),
+      avg("n_links_ext").as("mean_external_outdegree"),
+      max("n_links_ext").as("max_external_outdegree"))
 
   /** Fetches by HTTP status class 1xx..5xx (Frontier.java:343-392 archetype
     * counters). Input: a trace table. */

@@ -92,11 +92,16 @@ object Dedup {
 
   /** SimHash near-dup buckets: docs sharing any of 8 x 8-bit bands of
     * their 64-bit simhash (8 bands keep bucket populations bounded at
-    * scale far better than 4 x 16-bit: pigeonhole guarantees candidate
-    * recall for hamming <= 7). Returns candidate pairs with
-    * hamming distance; buckets over `maxBucketSize` are skipped. */
+    * scale far better than 4 x 16-bit). Returns candidate pairs with
+    * hamming distance; buckets over `maxBucketSize` are skipped.
+    *
+    * Recall bound: with 8 bands, pigeonhole guarantees every pair at
+    * hamming <= 7 shares at least one full band — the default `maxHamming`
+    * matches that bound. Asking for a larger `maxHamming` is allowed but
+    * candidate recall above 7 is only partial (pairs whose differing bits
+    * spread across all 8 bands are never bucketed together). */
   def simhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 8, maxBucketSize: Int = 1000): DataFrame = {
+      maxHamming: Int = 7, maxBucketSize: Int = 1000): DataFrame = {
     val sig = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
     val banded0 = sig.select(col("id"), col("sh"),
       explode(array((0 until 8).map(b =>

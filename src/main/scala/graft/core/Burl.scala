@@ -172,6 +172,7 @@ object Burl {
         var k = j + 1
         while (k < pathEnd && s.charAt(k) != '/') k += 1
         val len = k - (j + 1)
+        if (len == 0 && k < pathEnd) return false // "//" — URI.normalize collapses empty segments
         if (len == 1 && s.charAt(j + 1) == '.') return false
         if (len == 2 && s.charAt(j + 1) == '.' && s.charAt(j + 2) == '.') return false
         j = k

@@ -99,6 +99,13 @@ case class CrawlConfig(
       * broadcast hash set (scan, no shuffle); above it, sort-merge anti-join */
     probeThreshold: Long = 2L << 20,
     ipSpace: Long = 1L << 20,
+    /** multi-agent IP-delay attenuation (StartupConfiguration.java:213-226,
+      * ParsingThread.java:271-274): with k hosts sharing an IP the
+      * effective per-IP delay is max(ipDelay, ipDelay * ipDelayFactor *
+      * knownAgents * k/(k+1)); inert at the reference default (factor 0)
+      * and in single-agent runs (knownAgents 1), exactly like BUbiNG */
+    ipDelayFactor: Double = 0.0,
+    knownAgents: Int = 1,
     /** state-snapshot cadence in rounds (1 = commit every round, the
       * Iceberg per-round-commit analog) */
     checkpointEvery: Int = 1,
@@ -160,6 +167,36 @@ case class FetchUnit(
   * complete snapshot and deterministically re-executes rounds after it.
   */
 object Crawler {
+
+  /** Digest-keyed exact-duplicate flags for one round's parsed pages:
+    * within-batch (smaller seq wins) + across-rounds against the
+    * accumulated digests store. With `probe` (bounded bursts — the normal
+    * case) the store is probed via a broadcast of the burst's digest set:
+    * ONE scan of the store, no shuffle — a left-outer join against the big
+    * store side would otherwise sort-merge-shuffle the ENTIRE accumulated
+    * digests table every round (at a real crawl's 10^9-docs store, a
+    * per-round full-table shuffle). Above the threshold, SMJ. */
+  private[graft] def flagDuplicates(pages: DataFrame, digestsSeen: DataFrame,
+      probe: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val firstDigest = pages.groupBy("digest").agg(min("seq").as("__minSeq"))
+    val withBatch = pages
+      .join(firstDigest, Seq("digest"))
+      .withColumn("__dupInBatch", col("seq") > col("__minSeq"))
+    val withAcross =
+      if (probe) {
+        val present = digestsSeen
+          .join(broadcast(pages.select("digest").distinct()), Seq("digest"), "left_semi")
+        withBatch.join(
+          broadcast(present.select(col("digest"), lit(true).as("__dupAcross"))),
+          Seq("digest"), "left")
+      } else withBatch.join(
+        digestsSeen.select(col("digest"), lit(true).as("__dupAcross")),
+        Seq("digest"), "left")
+    withAcross.withColumn("is_duplicate",
+      col("__dupInBatch") || coalesce(col("__dupAcross"), lit(false)))
+  }
+
   /** Shared daemon pool for the concurrent per-round actions. */
   private[frontier] lazy val actionPool: scala.concurrent.ExecutionContext =
     scala.concurrent.ExecutionContext.fromExecutor(
@@ -491,11 +528,25 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
         respects_robots(burl_path_query(u), col("robotsPrefixes"))) &&
         FilterDsl.compile(cfg.fetchFilter, FilterDsl.urlContext(u))
     }
-    val gated = pageHosts
-      .withColumn("__kept", filter(col("heads"), h => headKeep(h)))
-      .withColumn("__dropped", filter(col("heads"), h => !headKeep(h)))
+    // with robots off and a trivial fetch filter the head gate cannot drop
+    // anything: skip the per-head predicate work entirely (bench path)
+    val windowGatesActive = cfg.robotsEnabled || cfg.fetchFilter != "true"
+    val gated =
+      if (windowGatesActive) pageHosts
+        .withColumn("__kept", filter(col("heads"), h => headKeep(h)))
+        .withColumn("__dropped", filter(col("heads"), h => !headKeep(h)))
+      else pageHosts
+        .withColumn("__kept", col("heads"))
+        .withColumn("__dropped", slice(col("heads"), lit(1), lit(0)))
     val disallowed = gated
       .select(explode(col("__dropped")).as("h")).select(col("h.urlHash").as("urlHash"))
+    /** hosts whose ENTIRE head window was disallowed this round: they did
+      * consume their window, so their nextFetch advances like a fetch
+      * (otherwise an all-disallowed window repeats forever); mirrored in
+      * OracleCrawler.windowOnly */
+    val windowOnlyHosts = gated
+      .where(size(col("__kept")) === 0 && size(col("__dropped")) > 0)
+      .select("hostHash")
     val pageUnits = gated
       .select(col("hostHash"), col("schemeAuthority"), col("ipHash"),
         col("retries"), col("lastError"),
@@ -535,7 +586,10 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
           val truncated = raw.length > maxBody
           val html = if (truncated) raw.substring(0, maxBody) else raw
           val pr = HtmlParser.parse(u.url, html)
-          val bin = f"${graft.core.MurmurHash3Bubing.hashString(html)}%016x"
+          // binary (non-parsed) digest is host-seeded (BinaryParser.java:75-81
+          // hashes host + NUL + body): identical bodies on DIFFERENT hosts
+          // stay distinct unless crossAuthorityDuplicates
+          val bin = f"${graft.core.MurmurHash3Bubing.hashString(u.host + "\u0000" + html)}%016x"
           FetchResult(u.url, u.urlHash, u.schemeAuthority, u.host, u.hostHash, u.ipHash,
             u.seq, status, isRobots = false, excClass = null, truncated = truncated,
             contentType = "text/html", digest = pr.digest, binaryDigest = bin,
@@ -566,15 +620,48 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
     val fetchStats = fetched.agg(count(lit(1)), min("seq"), max("seq")).collect()(0)
     val fetchedCount = fetchStats.getLong(0)
     if (fetchedCount == 0) {
-      // politeness wait: carry state forward, snapshot on cadence
-      val snapped = maybeSnapshot(round, frontier, hosts, ips, maxSeq, st.frontSize,
-        force = false)
-      live = Some(
-        if (snapped)
-          st.copy(round = round,
-            frontier = spark.read.parquet(stateDir(round, "frontier")),
-            tombstones = emptyTombstones, tombRows = 0L)
-        else st.copy(round = round))
+      val disLc = if (windowGatesActive) disallowed.transform(lc) else null
+      val disRows = if (disLc == null) 0L else disLc.count()
+      if (disRows == 0) {
+        // politeness wait: carry state forward, snapshot on cadence
+        val snapped = maybeSnapshot(round, frontier, hosts, ips, maxSeq, st.frontSize,
+          force = false)
+        live = Some(
+          if (snapped)
+            st.copy(round = round,
+              frontier = spark.read.parquet(stateDir(round, "frontier")),
+              tombstones = emptyTombstones, tombRows = 0L)
+          else st.copy(round = round))
+      } else {
+        // zero fetches but the head gate DID drop URLs: commit the window
+        // tombstones and advance the all-disallowed hosts' nextFetch, or
+        // the identical empty round would repeat until maxRounds
+        // (mirrored in OracleCrawler)
+        val hostDelayRef0 = ref_long(now + cfg.hostDelay, "nowHostDelay")
+        val hostsNext = hosts
+          .join(broadcast(windowOnlyHosts.withColumn("__wo", lit(true))), Seq("hostHash"), "left")
+          .withColumn("nextFetch",
+            when(coalesce(col("__wo"), lit(false)), hostDelayRef0).otherwise(col("nextFetch")))
+          .drop("__wo")
+        val tombstonesNext = st.tombstones.unionByName(disLc).transform(lc)
+        val tombRowsNext = st.tombRows + disRows
+        val compactedNext = st.frontier
+          .join(tombstonesNext.hint("shuffle_merge"), Seq("urlHash"), "left_anti")
+        val snapped = maybeSnapshot(round, compactedNext, hostsNext, ips, maxSeq,
+          st.frontSize, force = false)
+        val (fNext, tombNext, tombRowsFinal) =
+          if (snapped) (spark.read.parquet(stateDir(round, "frontier")), emptyTombstones, 0L)
+          else if (tombRowsNext >= cfg.tombstoneCompactRows)
+            (compactedNext.repartition(cfg.statePartitions * 4, col("hostHash")).transform(lc),
+              emptyTombstones, 0L)
+          else (st.frontier, tombstonesNext, tombRowsNext)
+        val hNext =
+          if (snapped) spark.read.parquet(stateDir(round, "hosts"))
+          else hostsNext.transform(lc)
+        live = Some(st.copy(round = round, frontier = fNext, hosts = hNext,
+          tombstones = tombNext, pendingRows = st.pendingRows - disRows,
+          tombRows = tombRowsFinal))
+      }
       bloomRound = round
       fetched0.unpersist(); selected.unpersist()
       return 0
@@ -607,13 +694,8 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
     // (digests cover ALL parsed pages; the store filter gates only the sink)
     val digestsSeen = st.digests
     val (linkSources, docs, newDigests) = if (cfg.storeDocs) {
-      val firstDigest = pages.groupBy("digest").agg(min("seq").as("__minSeq"))
-      val flagged = pages
-        .join(firstDigest, Seq("digest"))
-        .withColumn("__dupInBatch", col("seq") > col("__minSeq"))
-        .join(digestsSeen.select(col("digest"), lit(true).as("__dupAcross")),
-          Seq("digest"), "left")
-        .withColumn("is_duplicate", col("__dupInBatch") || coalesce(col("__dupAcross"), lit(false)))
+      val flagged = Crawler
+        .flagDuplicates(pages, digestsSeen, probe = fetchedCount <= cfg.probeThreshold)
         .cache()
       val nd = flagged.where(!col("is_duplicate")).select("digest").distinct()
       // duplicate pages contribute no outlinks (ParsingThread.java:408-410)
@@ -625,19 +707,29 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
     var dedupIn = 0L
 
     // --- outlink extraction -> schedule filter -> sieve (SURVEY.md §3.2) ---
+    // link-typed schedule-filter context (the reference filters
+    // Filter<Link> over (source, target), ParsingThread.java:181-184,
+    // Link.java:26-39): the parent host column rides along only when the
+    // DSL actually references it — burl_host per link is hot-path cost
+    val linkTyped = cfg.scheduleFilter.contains("SameHost")
     val rawLinks = linkSources
-      .select(col("seq").as("parentSeq"),
-        posexplode(coalesce(col("links"), array())).as(Seq("linkIdx", "spec")))
+      .select((col("seq").as("parentSeq") +:
+        (if (linkTyped) Seq(burl_host(col("url")).as("srcHost")) else Nil)) :+
+        posexplode(coalesce(col("links"), array())).as(Seq("linkIdx", "spec")): _*)
     val hostBlacklistGate =
       if (cfg.blacklistHosts.isEmpty) lit(true)
       else !burl_host(col("url")).isin(cfg.blacklistHosts: _*)
     val ipBlacklistGate =
       if (cfg.blacklistIps.isEmpty) lit(true)
       else !ip_of_host(burl_host(col("url")), cfg.ipSpace).isin(cfg.blacklistIps: _*)
+    val schedCtx0 = FilterDsl.urlContext(col("url"))
+    val schedCtx =
+      if (linkTyped) schedCtx0.copy(srcHost = Some(col("srcHost")), dstHost = schedCtx0.host)
+      else schedCtx0
     val parsedLinks = rawLinks
       .withColumn("url", burl_parse(col("spec")))
       .where(col("url").isNotNull)
-      .where(FilterDsl.compile(cfg.scheduleFilter, FilterDsl.urlContext(col("url"))))
+      .where(FilterDsl.compile(cfg.scheduleFilter, schedCtx))
       .where(hostBlacklistGate && ipBlacklistGate)
       .withColumn("urlHash", murmur64(col("url")))
       .select("url", "urlHash", "parentSeq", "linkIdx")
@@ -660,7 +752,12 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
         docs.where(col("__store"))
           .select(col("url").as("doc_id"), col("schemeAuthority"), col("spans"),
             col("digest"), col("status"), col("is_duplicate"), col("truncated"),
-            size(coalesce(col("links"), array())).as("n_links")) // round = partition dir
+            size(coalesce(col("links"), array())).as("n_links"),
+            // external outdegree: links whose host differs from the page's
+            // (ParsingThread.java:386-389)
+            size(filter(coalesce(col("links"), array()),
+              l => !burl_host(l).eqNullSafe(burl_host(col("url")))))
+              .as("n_links_ext")) // round = partition dir
           .write.mode(SaveMode.Overwrite).parquet(appendDir("docs", round))
         newDigests.write.mode(SaveMode.Overwrite).parquet(appendDir("digests", round))
         duplicates = docs.where(col("is_duplicate")).count()
@@ -674,11 +771,18 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
     val (loSeq, hiSeq) =
       if (fetchStats.isNullAt(1)) (0L, 0L) else (fetchStats.getLong(1), fetchStats.getLong(2))
     // first new seq is exactly maxSeq (dense continuation of enqueue
-    // order); the sieve output is materialized ONCE (lc) — the rank count
-    // pass, the rank pass, the seen append, and the bloom delta reuse it
-    val sievedInput = Sieve
-      .newUrls(parsedLinks, seen, Seq("parentSeq", "linkIdx"), blooms, broadcastProbe)
-      .transform(lc)
+    // order); the sieve output is materialized (lc) — the rank count
+    // pass, the rank pass, the seen append, and the bloom delta reuse it.
+    // With a bloom bank the scan-probe path is used: the seen store is
+    // only ever SCANNED, never shuffled/sorted/broadcast (the r2 SMJ path
+    // re-shuffled all accumulated seen hashes every round).
+    val sievedInput =
+      if (blooms.nonEmpty)
+        Sieve.newUrlsScanProbe(parsedLinks, seen, Seq("parentSeq", "linkIdx"),
+          blooms, lc, broadcastLimit = cfg.probeThreshold)
+      else Sieve
+        .newUrls(parsedLinks, seen, Seq("parentSeq", "linkIdx"), Nil, broadcastProbe)
+        .transform(lc)
     // 8x-oversplit buckets: parentSeq density is uneven (popular hosts
     // sit at low seqs), so fine-grained monotone buckets keep the rank
     // window's tasks balanced
@@ -750,11 +854,19 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
     val hostDelayRef = ref_long(now + cfg.hostDelay, "nowHostDelay")
     val backoff = nowRef + waitC * pow(lit(2.0), retriesNew.cast("double")).cast("long")
     val storedNew = col("stored") + coalesce(col("__stored"), lit(0L))
-    val hostsU = hosts
+    // all-disallowed-window hosts consumed their window without a fetch:
+    // their nextFetch advances like a fetch (disjoint from hostAgg — such
+    // a host produced no fetch units)
+    val hostsBase =
+      if (windowGatesActive)
+        hosts.join(broadcast(windowOnlyHosts.withColumn("__wo", lit(true))), Seq("hostHash"), "left")
+      else hosts.withColumn("__wo", lit(false))
+    val hostsU = hostsBase
       .join(broadcast(hostAgg.withColumn("__touched", lit(true))), Seq("hostHash"), "left")
       .select(
         col("schemeAuthority"), col("hostHash"), col("ipHash"),
-        when(touched.isNull, col("nextFetch"))
+        when(touched.isNull,
+            when(coalesce(col("__wo"), lit(false)), hostDelayRef).otherwise(col("nextFetch")))
           .when(excC.isNull, hostDelayRef)
           .when(retryable, backoff)
           .otherwise(hostDelayRef).as("nextFetch"),
@@ -769,6 +881,7 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
           .when(excC.isNull || !retryable, lit(null).cast("string"))
           .otherwise(excC).as("lastError"),
         coalesce(col("__prefixes"), col("robotsPrefixes")).as("robotsPrefixes"),
+        coalesce(touched, lit(false)).as("__t"),
         coalesce(touched && dropUrl, lit(false)).as("__drop"),
         when(coalesce(touched && dropUrl, lit(false)),
           col("__exc").getField("urlHash")).as("__dropHash"))
@@ -791,10 +904,31 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
 
     val hostsNext = hostsU.select(hostCols.map(col): _*)
       .unionByName(newHostsFrom(newDelta, hosts))
-    val ipTouched = fetched.select("ipHash").distinct()
-    val ipsNext = ips
+    // touched IPs from the (cached) host aggregate instead of a fresh
+    // scan+distinct of `fetched`: selection is rank-1 per IP, so touched
+    // hosts already have pairwise-distinct IPs
+    val ipTouched = hostsU.where(col("__t")).select("ipHash")
+    val ipsBase = ips
       .join(broadcast(ipTouched.withColumn("__hit", lit(true))), Seq("ipHash"), "left")
-      .withColumn("nextFetch", when(col("__hit"), ref_long(now + cfg.ipDelay, "nowIpDelay")).otherwise(col("nextFetch")))
+    val ipsUpdated =
+      if (cfg.knownAgents > 1 && cfg.ipDelayFactor != 0) {
+        // multi-agent IP-delay model (ParsingThread.java:271-274): delay
+        // scales with the pre-round count k of non-purged hosts on the IP
+        val kCounts = hosts.where(!col("purged"))
+          .join(broadcast(ipTouched), Seq("ipHash"), "left_semi")
+          .groupBy("ipHash").agg(count(lit(1)).as("__k"))
+        val k = coalesce(col("__k"), lit(1L)).cast("double")
+        val delayEff = greatest(lit(cfg.ipDelay),
+          (lit(cfg.ipDelay * cfg.ipDelayFactor * cfg.knownAgents) * k / (k + lit(1.0)))
+            .cast("long"))
+        ipsBase.join(broadcast(kCounts), Seq("ipHash"), "left")
+          .withColumn("nextFetch",
+            when(col("__hit"), ref_long(now, "now") + delayEff).otherwise(col("nextFetch")))
+          .drop("__k")
+      } else ipsBase
+        .withColumn("nextFetch",
+          when(col("__hit"), ref_long(now + cfg.ipDelay, "nowIpDelay")).otherwise(col("nextFetch")))
+    val ipsNext = ipsUpdated
       .drop("__hit")
       .unionByName(newIpsFrom(newDelta, ips))
 

@@ -58,16 +58,13 @@ object Sieve {
         // bank of filters: the consolidated base + per-round deltas (the
         // broadcast-REFRESHED filter is extended, not rebuilt, each round)
         val bcast = spark.sparkContext.broadcast(bank.toArray)
-        val mightContain = udf((h: Long) => {
-          val fs = bcast.value
-          var i = 0
-          var hit = false
-          while (i < fs.length && !hit) { hit = fs(i).mightContainLong(h); i += 1 }
-          hit
-        })
         // Definitely-new rows skip the join entirely; only bloom-positive
         // rows (true hits + false positives) pay the exact membership check.
-        val flagged = deduped.withColumn("__maybe", mightContain(col("urlHash")))
+        // might_contain_bank is a codegen'd expression: the prefilter stays
+        // inside whole-stage codegen (a Scala UDF here crossed the
+        // codegen->Scala boundary once per candidate URL).
+        val flagged = deduped.withColumn("__maybe",
+          graft.functions.might_contain_bank(col("urlHash"), bcast))
         val sure = flagged.where(!col("__maybe")).drop("__maybe")
         val maybe = flagged.where(col("__maybe")).drop("__maybe")
         val maybeNew =
@@ -86,6 +83,56 @@ object Sieve {
           }
         sure.unionByName(maybeNew)
     }
+  }
+
+  /** Round-path sieve that never shuffles the seen store (the 10^10-seen
+    * scale path). Shape:
+    *
+    *  1. within-batch first-wins dedup (one batch-sized shuffle — the only
+    *     large exchange);
+    *  2. bank-bloom prefilter splits sure-new from maybe-seen (codegen'd);
+    *  3. a SECOND bloom, built distributed over the maybe-batch, REVERSES
+    *     the probe: `present = seen WHERE batchBloom.mightContain(hash)` is
+    *     a pure SCAN of the seen store — seen is never shuffled, sorted, or
+    *     broadcast, at any batch size;
+    *  4. exact anti-join of maybe against the (small) present set —
+    *     broadcast when it fits, shuffle of two SMALL sides otherwise.
+    *
+    * This is the Spark reading of Mercator's sequential store merge
+    * (`MercatorSieve.java:311-344`): one sequential pass over the store per
+    * flush, work ∝ batch. Returns the new-URL batch as a union of two
+    * frames MATERIALIZED via `mat` (callers pass localCheckpoint), so the
+    * output is safe for the order-sensitive rank pass and is scanned — not
+    * recomputed — by its several consumers.
+    */
+  def newUrlsScanProbe(
+      candidates: DataFrame,
+      seen: DataFrame,
+      orderCols: Seq[String],
+      bank: Seq[BloomFilter],
+      mat: DataFrame => DataFrame,
+      broadcastLimit: Long,
+      batchFpp: Double = 0.001): DataFrame = {
+    require(bank.nonEmpty, "newUrlsScanProbe needs a non-empty bloom bank")
+    val spark = candidates.sparkSession
+    val bcast = spark.sparkContext.broadcast(bank.toArray)
+    val flagged = mat(
+      Ranking.firstPerKey(candidates, "urlHash", orderCols)
+        .withColumn("__maybe", graft.functions.might_contain_bank(col("urlHash"), bcast)))
+    val sure = flagged.where(!col("__maybe")).drop("__maybe")
+    val maybe = flagged.where(col("__maybe")).drop("__maybe")
+    val maybeCount = maybe.count() // cheap: counts the materialized blocks
+    if (maybeCount == 0) return sure
+    val batchBloom = maybe.stat.bloomFilter("urlHash", math.max(maybeCount, 1024L), batchFpp)
+    val bb = spark.sparkContext.broadcast(Array(batchBloom))
+    val present = mat(seen.where(graft.functions.might_contain_bank(col("urlHash"), bb)))
+    val presentCount = present.count()
+    if (presentCount == 0) return flagged.drop("__maybe") // every maybe was a false positive
+    val maybeNew =
+      if (presentCount <= broadcastLimit)
+        maybe.join(broadcast(present), Seq("urlHash"), "left_anti")
+      else maybe.join(present, Seq("urlHash"), "left_anti")
+    sure.unionByName(mat(maybeNew))
   }
 
   /** Build a bloom filter over the seen table's hashes (one pass; driver

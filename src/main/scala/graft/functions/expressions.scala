@@ -211,6 +211,39 @@ case class DigestOfSpans(children: Seq[Expression]) extends Expression
   override def prettyName: String = "digest_of_spans"
 }
 
+/** Static probe helper shared by interpreted eval and generated code. */
+object BloomBank {
+  def mightContain(fs: Array[org.apache.spark.util.sketch.BloomFilter], h: Long): Boolean = {
+    var i = 0
+    while (i < fs.length) { if (fs(i).mightContainLong(h)) return true; i += 1 }
+    false
+  }
+}
+
+/** Codegen'd membership probe against a broadcast BANK of bloom filters
+  * (the sieve's consolidated base + per-round deltas). Every candidate URL
+  * crosses this once per round — as a Scala UDF it forced a
+  * codegen->Scala boundary per row on the widest stream; as a native
+  * expression the prefilter stays inside whole-stage codegen. */
+case class MightContainBank(child: Expression,
+    bank: org.apache.spark.broadcast.Broadcast[Array[org.apache.spark.util.sketch.BloomFilter]])
+  extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(input: Any): Any =
+    BloomBank.mightContain(bank.value, input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bankRef = ctx.addReferenceObj("bloomBank", bank,
+      "org.apache.spark.broadcast.Broadcast")
+    // unwrap the broadcast ONCE per task, not per row
+    val arr = ctx.addMutableState("org.apache.spark.util.sketch.BloomFilter[]", "bloomArr",
+      v => s"$v = (org.apache.spark.util.sketch.BloomFilter[]) $bankRef.value();")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BloomBank.mightContain($arr, $c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): MightContainBank = copy(child = newChild)
+  override def prettyName: String = "might_contain_bank"
+}
+
 /** SimHash-64 over whitespace tokens: sign-sum of per-token murmur hashes.
   * Standard Charikar construction (public algorithm). */
 case class SimHash64(child: Expression) extends InterpretedUnary {

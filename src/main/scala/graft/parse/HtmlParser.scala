@@ -196,6 +196,21 @@ object HtmlParser {
   @inline private def attrNameIs(s: String, from: Int, to: Int, expect: String): Boolean =
     to - from == expect.length && s.regionMatches(true, from, expect, 0, expect.length)
 
+  /** HTML-entity-decode an attribute value (Jericho's getAttributeValue
+    * decodes character references, so `href="a?x=1&amp;y=2"` must yield
+    * the literal `&` before resolve()); fast no-op when no '&' present. */
+  private def decodeAttr(s: String): String = {
+    if (s == null || s.indexOf('&') < 0) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') i = decodeEntity(s, i, sb)
+      else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Parse one tag starting at `i` (s(i) == '<') into `t`. Returns false
     * if this is not a tag (the '<' is literal text). */
   private def parseTag(s: String, i: Int, t: TagScratch): Boolean = {
@@ -272,9 +287,9 @@ object HtmlParser {
           }
         }
         if (ae > as && value != null) {
-          if (wantUrl != null && attrNameIs(s, as, ae, wantUrl)) t.urlAttr = value
-          else if (wantRel != null && attrNameIs(s, as, ae, wantRel)) t.relOrEquiv = value
-          else if (wantContent != null && attrNameIs(s, as, ae, wantContent)) t.content = value
+          if (wantUrl != null && attrNameIs(s, as, ae, wantUrl)) t.urlAttr = decodeAttr(value)
+          else if (wantRel != null && attrNameIs(s, as, ae, wantRel)) t.relOrEquiv = decodeAttr(value)
+          else if (wantContent != null && attrNameIs(s, as, ae, wantContent)) t.content = decodeAttr(value)
         } else if (ae > as && !hasValue) {
           // valueless attribute: rel=nofollow needs a non-null marker only
           // when the attr had a value; bare flags stay null (the reference

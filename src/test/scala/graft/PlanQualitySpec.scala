@@ -116,4 +116,77 @@ class PlanQualitySpec extends AnyFunSuite {
     val plan = physicalPlan(SparkEntry.queries("q_exact_dedup")(spark, sf))
     assert(plan.contains("HashAggregate") && !plan.contains("Window"), plan)
   }
+
+  test("bloom prefilter is a codegen'd expression, not a Scala UDF") {
+    import spark.implicits._
+    // localCheckpoint: RDD-backed inputs like the real round path (over a
+    // LocalRelation the optimizer evaluates the prefilter eagerly and no
+    // physical Filter remains to inspect)
+    val batch = (1L to 2000L).map(i => (s"u$i", i, 0L, i))
+      .toDF("url", "urlHash", "parentSeq", "linkIdx").localCheckpoint(true)
+    val seen = (1L to 900L).toDF("urlHash").localCheckpoint(true)
+    val bloom = graft.frontier.Sieve.seenBloom(seen, 1000)
+    val out = graft.frontier.Sieve.newUrls(batch, seen, Seq("parentSeq", "linkIdx"),
+      blooms = Seq(bloom))
+    val plan = finalPlan(out)
+    assert(!plan.contains("UDF"), s"sieve prefilter fell back to a Scala UDF:\n$plan")
+    assert(plan.contains("might_contain_bank"), s"expected the bank expression:\n$plan")
+    // the prefilter stage is inside whole-stage codegen
+    assert(plan.contains("*(1)"), s"no codegen stage around the prefilter:\n$plan")
+    // and the result is still exact
+    assert(out.select("urlHash").as[Long].collect().toSet == (901L to 2000L).toSet)
+  }
+
+  test("scan-probe sieve never shuffles the seen store") {
+    import spark.implicits._
+    // seen is 100k rows; the batch is 3000. If the membership check ever
+    // shuffled the seen store (the r2 SMJ shape), total shuffle-write
+    // records would exceed 100k; the scan-probe path shuffles only
+    // batch-sized data. Measured with a real task-metrics listener — the
+    // internal joins execute inside materializations and are not visible
+    // in the final plan string.
+    val shuffled = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffled.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    val batch = (99001L to 102000L).map(i => (s"u$i", i, 0L, i))
+      .toDF("url", "urlHash", "parentSeq", "linkIdx").localCheckpoint(true)
+    val seen = (1L to 100000L).toDF("urlHash").localCheckpoint(true)
+    val bloom = graft.frontier.Sieve.seenBloom(seen, 100000)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = graft.frontier.Sieve.newUrlsScanProbe(batch, seen,
+        Seq("parentSeq", "linkIdx"), Seq(bloom),
+        mat = df => df.localCheckpoint(true), broadcastLimit = 1L << 20)
+      assert(out.select("urlHash").as[Long].collect().toSet == (100001L to 102000L).toSet)
+      assert(!finalPlan(out).contains("SortMergeJoin"))
+      // let straggler stage-completed events drain
+      var last = -1L
+      var stable = 0
+      while (stable < 3 && last < 1000000L) {
+        Thread.sleep(200)
+        val v = shuffled.get
+        if (v == last) stable += 1 else { stable = 0; last = v }
+      }
+      assert(shuffled.get < 20000L,
+        s"scan-probe shuffled ${shuffled.get} records — the seen store leaked into a shuffle")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("digest-dedup probe path: no full digests-store shuffle for a bounded burst") {
+    import spark.implicits._
+    val pages = (1L to 50L).map(i => (s"d${i % 20}", i)).toDF("digest", "seq")
+    val store = (1 to 5000).map(i => s"s$i").toDF("digest")
+    val flagged = graft.frontier.Crawler.flagDuplicates(pages, store, probe = true)
+    val plan = finalPlan(flagged)
+    assert(!plan.contains("SortMergeJoin"),
+      s"bounded burst must probe the digests store, not SMJ it:\n$plan")
+    // parity with the SMJ path
+    val full = graft.frontier.Crawler.flagDuplicates(pages, store, probe = false)
+    val a = flagged.select("digest", "seq", "is_duplicate").collect().map(_.toSeq).toSet
+    val b = full.select("digest", "seq", "is_duplicate").collect().map(_.toSeq).toSet
+    assert(a == b, "probe and SMJ dedup paths disagree")
+  }
 }

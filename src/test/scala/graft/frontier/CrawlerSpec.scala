@@ -238,6 +238,79 @@ class CrawlerSpec extends AnyFunSuite {
     assert(maxChars <= 40)
   }
 
+  test("robotsEnabled=false (bench semantics): spark == oracle") {
+    val f = cfg.copy(robotsEnabled = false, maxRounds = 5)
+    val dir = tempDir("robotsoff")
+    val crawler = new Crawler(spark, dir, f)
+    crawler.run()
+    val t = collectTrace(crawler)
+    assert(t.nonEmpty && !t.exists(_._4), "robots fetch in a robots-off crawl")
+    assertOracleParity(crawler, f)
+  }
+
+  test("binary (parse-gated) digest is host-seeded (BinaryParser.java:75-81)") {
+    val f = cfg.copy(parseFilter = "false", maxRounds = 3)
+    val dir = tempDir("binseed")
+    val c = new Crawler(spark, dir, f)
+    c.run()
+    val row = c.docs().select("doc_id", "digest").collect().head
+    val url = row.getString(0)
+    val host = graft.core.Burl.host(url)
+    val html = SyntheticWeb.pageHtml(url, f.web)
+    assert(row.getString(1) ==
+      f"${graft.core.MurmurHash3Bubing.hashString(host + "\u0000" + html)}%016x",
+      "binary digest must hash host + NUL + body")
+    assert(row.getString(1) != f"${graft.core.MurmurHash3Bubing.hashString(html)}%016x",
+      "binary digest must not be body-only")
+    assertOracleParity(c, f, OracleCrawler.Gates(parseOk = _ => false))
+  }
+
+  test("link-typed scheduleFilter: SameHost() gates cross-host links, spark == oracle") {
+    val f = cfg.copy(scheduleFilter = "SameHost() and URLShorterThan(2048)", maxRounds = 6)
+    val dir = tempDir("samehost")
+    val crawler = new Crawler(spark, dir, f)
+    crawler.run()
+    // links never leave a host: every fetch is on a seed host
+    val seedHosts = (0 until cfg.nSeeds)
+      .map(i => graft.core.Burl.host(SyntheticWeb.seedUrl(i, cfg.web))).toSet
+    val hosts = collectTrace(crawler).map(t => graft.core.Burl.host(t._3)).toSet
+    assert(hosts.subsetOf(seedHosts), s"cross-host link scheduled: ${hosts -- seedHosts}")
+    // the unfiltered crawl DOES leave the seed hosts (the gate is load-bearing)
+    val dirU = tempDir("samehost-u")
+    val cu = new Crawler(spark, dirU, cfg.copy(maxRounds = 6))
+    cu.run()
+    assert((collectTrace(cu).map(t => graft.core.Burl.host(t._3)).toSet -- seedHosts).nonEmpty)
+    assertOracleParity(crawler, f, OracleCrawler.Gates(
+      scheduleOk = (src, dst) =>
+        graft.core.Burl.host(src) == graft.core.Burl.host(dst) && dst.length < 2048))
+  }
+
+  test("ipDelayFactor scales per-IP delay with hosts sharing the IP: spark == oracle") {
+    // tiny ipSpace forces many hosts per IP so the factor bites
+    val f = cfg.copy(ipDelayFactor = 2.0, knownAgents = 4, ipSpace = 8, maxRounds = 7)
+    val dir = tempDir("ipfactor")
+    val crawler = new Crawler(spark, dir, f)
+    crawler.run()
+    val dirU = tempDir("ipfactor-u")
+    val cu = new Crawler(spark, dirU, f.copy(ipDelayFactor = 0.0))
+    cu.run()
+    assert(collectTrace(crawler) != collectTrace(cu), "ipDelayFactor had no effect")
+    assertOracleParity(crawler, f)
+  }
+
+  test("all-disallowed head windows still progress (zero-fetch rounds commit drops)") {
+    val f = cfg.copy(fetchFilter = "false", maxRounds = 10)
+    val dir = tempDir("alldrop")
+    val crawler = new Crawler(spark, dir, f)
+    val rounds = crawler.run()
+    val t = collectTrace(crawler)
+    assert(t.nonEmpty && t.forall(_._4), "only robots should ever be fetched")
+    // the frontier drains (windows drop k' heads per visit) instead of
+    // repeating identical empty rounds until maxRounds
+    assert(rounds < 10, s"crawl did not drain: ran $rounds rounds")
+    assertOracleParity(crawler, f, OracleCrawler.Gates(fetchOk = _ => false))
+  }
+
   test("docs carry digests; duplicates are flagged deterministically") {
     val dir = tempDir("docs")
     val crawler = new Crawler(spark, dir, cfg.copy(maxRounds = 5))

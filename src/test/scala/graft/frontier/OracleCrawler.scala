@@ -21,12 +21,15 @@ object OracleCrawler {
 
   case class TraceRow(round: Int, seq: Long, url: String, isRobots: Boolean, status: Int)
 
-  /** Scala-side response-filter gates mirroring the config DSL strings. */
+  /** Scala-side response-filter gates mirroring the config DSL strings.
+    * `scheduleOk(srcUrl, dstUrl)` replaces the default schedule filter when
+    * non-null (the reference's Filter&lt;Link&gt; shape, Link.java:26-39). */
   case class Gates(
       fetchOk: String => Boolean = _ => true,
       parseOk: String => Boolean = _ => true,
       followOk: String => Boolean = _ => true,
-      storeOk: String => Boolean = _ => true)
+      storeOk: String => Boolean = _ => true,
+      scheduleOk: (String, String) => Boolean = null)
 
   private class HostSt(val sa: String, val hostHash: Long, val ipHash: Long) {
     var nextFetch = 0L
@@ -83,8 +86,11 @@ object OracleCrawler {
           maxSeq += 1
           if (!applyBudget || priorStored + rank <= cfg.maxUrlsPerHost) {
             val ipHash = Burl.ipOfHost(Burl.host(url), cfg.ipSpace)
-            val host = hosts.getOrElseUpdate(sa,
-              new HostSt(sa, MurmurHash3Bubing.hashString(sa), ipHash))
+            val host = hosts.getOrElseUpdate(sa, {
+              val h0 = new HostSt(sa, MurmurHash3Bubing.hashString(sa), ipHash)
+              h0.robotsDone = !cfg.robotsEnabled // benchmark mode skips robots
+              h0
+            })
             host.pending(seq) = url
             ipNextFetch.getOrElseUpdate(host.ipHash, 0L)
           }
@@ -131,6 +137,8 @@ object OracleCrawler {
       val roundTrace = mutable.ArrayBuffer[TraceRow]()
       val pageFetches = mutable.ArrayBuffer[PageFetch]()
       val windowDrops = mutable.ArrayBuffer[(HostSt, Long)]()
+      /** hosts whose whole head window was robots/fetch-filter-disallowed */
+      val windowOnly = mutable.ArrayBuffer[HostSt]()
       case class HostOutcome(h: HostSt, okPages: Seq[(Long, Int)], storedInc: Long,
           robotsFetched: Boolean, prefixes: Array[String],
           exc: Option[(Long, String, Boolean)]) // (seq, class, isRobots)
@@ -161,6 +169,7 @@ object OracleCrawler {
           }
           disallowedW.foreach { case (seq, _) => windowDrops += ((h, seq)) }
           val burst = allowedW.take(cfg.burst)
+          if (burst.isEmpty && disallowedW.nonEmpty) windowOnly += h
           if (burst.nonEmpty) {
             var exc: Option[(Long, String, Boolean)] = None
             val okPages = mutable.ArrayBuffer[(Long, Int)]()
@@ -184,7 +193,7 @@ object OracleCrawler {
                   val pr = HtmlParser.parse(url, html)
                   val digest =
                     if (gates.parseOk(url)) pr.digest
-                    else f"${MurmurHash3Bubing.hashString(html)}%016x"
+                    else f"${MurmurHash3Bubing.hashString(Burl.host(url) + "\u0000" + html)}%016x"
                   val links =
                     if (gates.parseOk(url) && gates.followOk(url)) pr.links else Nil
                   pageFetches += PageFetch(h, seq, url, status, digest, links)
@@ -198,10 +207,27 @@ object OracleCrawler {
       }
 
       val fetchedAny = roundTrace.nonEmpty
+      // window drops + all-disallowed-window host bumps commit even in
+      // zero-fetch rounds: otherwise a host whose whole head window is
+      // disallowed repeats the identical empty round until maxRounds
+      windowDrops.foreach { case (h, seq) => h.pending.remove(seq) }
+      windowOnly.foreach { h => h.nextFetch = now + cfg.hostDelay }
+      // pre-round hosts-per-IP census for the ipDelayFactor model
+      // (ParsingThread.java:271-274 entrySize); purged flags are the
+      // PRE-round values (one host per IP per round, so in-round purges
+      // never affect another outcome's count)
+      val ipHostCount: Map[Long, Int] =
+        if (cfg.knownAgents > 1 && cfg.ipDelayFactor != 0)
+          hosts.values.filter(!_.purged).groupBy(_.ipHash).map { case (ip, hs) => ip -> hs.size }
+        else Map.empty
+      def ipDelayEff(ip: Long): Long =
+        if (cfg.knownAgents > 1 && cfg.ipDelayFactor != 0) {
+          val k = ipHostCount.getOrElse(ip, 1)
+          math.max(cfg.ipDelay,
+            (cfg.ipDelay * cfg.ipDelayFactor * cfg.knownAgents * k / (k + 1.0)).toLong)
+        } else cfg.ipDelay
       if (fetchedAny) {
         trace ++= roundTrace
-        // window drops (tombstoned disallowed heads)
-        windowDrops.foreach { case (h, seq) => h.pending.remove(seq) }
 
         // per-host state machine (ParsingThread.java:253-312)
         val touchedHosts = mutable.Set[String]()
@@ -237,7 +263,7 @@ object OracleCrawler {
               }
           }
           if (h.stored >= cfg.maxUrlsPerHost) h.purged = true
-          ipNextFetch(h.ipHash) = now + cfg.ipDelay
+          ipNextFetch(h.ipHash) = now + ipDelayEff(h.ipHash)
         }
 
         // duplicate detection over effective digests; duplicate pages
@@ -257,17 +283,22 @@ object OracleCrawler {
             nonDup
           }
 
-        val newLinks = mutable.ArrayBuffer[(Long, Long, String)]()
+        val newLinks = mutable.ArrayBuffer[(Long, Long, String, String)]()
         linkSources.foreach { p =>
-          p.links.zipWithIndex.foreach { case (l, i) => newLinks += ((p.seq, i.toLong, l)) }
+          p.links.zipWithIndex.foreach { case (l, i) => newLinks += ((p.seq, i.toLong, l, p.url)) }
         }
         val parsedLinks = newLinks.toSeq
-          .map { case (ps, li, spec) => (ps, li, Burl.parse(spec)) }
+          .map { case (ps, li, spec, src) => (ps, li, Burl.parse(spec), src) }
           .filter(_._3 != null)
-          .filter(c => passesScheduleFilter(c._3))
+          // link-typed schedule filter (reference Filter<Link> over
+          // (source, target), ParsingThread.java:181-184)
+          .filter(c =>
+            if (gates.scheduleOk != null) gates.scheduleOk(c._4, c._3)
+            else passesScheduleFilter(c._3))
           .filter(c => blacklist.isEmpty || !blacklist.contains(Burl.host(c._3)))
           .filter(c => blacklistIps.isEmpty ||
             !blacklistIps.contains(Burl.ipOfHost(Burl.host(c._3), cfg.ipSpace)))
+          .map(c => (c._1, c._2, c._3))
         enqueue(parsedLinks, storedSnapshot)
 
         // adaptive front growth on saturation
