@@ -83,6 +83,12 @@ object Bench {
           .cast("decimal(38,0)").as("h"))
         .agg(sum("h")).collect()(0).getDecimal(0).toString
       val traceRows = crawler.trace().count()
+      // tmpfs hygiene: each run leaves ~1 GB of state on /dev/shm;
+      // repeated bench invocations would otherwise exhaust it
+      try {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(work)).deleteRecursively()
+      } catch { case _: Exception => () }
       (processed / wall, processed, wall, chk, traceRows)
     } finally spark.stop()
   }

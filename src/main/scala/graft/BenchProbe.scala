@@ -122,9 +122,12 @@ object BenchProbe {
     // trailing args: k=v spark conf overrides, plus storage=<level> for the
     // crawler state storage
     var storage = "DISK_ONLY"
+    var stateParts = threads
     args.drop(2).foreach { kv =>
       val Array(k, v) = kv.split("=", 2)
-      if (k == "storage") storage = v else builder.config(k, v)
+      if (k == "storage") storage = v
+      else if (k == "stateParts") stateParts = v.toInt
+      else builder.config(k, v)
     }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -140,7 +143,7 @@ object BenchProbe {
       storeDocs = false,
       bloomExpected = 64L << 20,
       checkpointEvery = 99,
-      statePartitions = threads,
+      statePartitions = stateParts,
       logRounds = true,
       stateStorage = storage)
     val work = s"$workBase-$threads-${System.currentTimeMillis()}"

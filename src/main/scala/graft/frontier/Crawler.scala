@@ -380,16 +380,22 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
     * (small) new-hash delta; consolidated into one full-capacity filter
     * (again distributed, from the seen table) every `bloomMaxDeltas`
     * rounds. No driver-side row collection anywhere (north_rule
-    * "broadcast-refreshed bloom URL-seen set"). */
-  private var bloomBank: Vector[org.apache.spark.util.sketch.BloomFilter] = Vector.empty
+    * "broadcast-refreshed bloom URL-seen set"). Each filter is BROADCAST
+    * ONCE when built and the broadcast handles are reused across rounds —
+    * re-broadcasting the whole bank (tens of MB) every round was a
+    * measurable per-round driver serialization + executor re-fetch cost.
+    * Dropped handles are reclaimed by Spark's ContextCleaner. */
+  private var bloomBank: Vector[org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]] = Vector.empty
   private var bloomRound: Int = -1
 
-  private def bloomFilters(state: LiveState): Seq[org.apache.spark.util.sketch.BloomFilter] = {
+  private def bloomFilters(state: LiveState)
+      : Seq[org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]] = {
     if (!cfg.useBloom || state.maxSeq < cfg.bloomMinSeen) return Nil
     if (bloomRound != state.round || bloomBank.isEmpty) {
       // cold start / resume: one consolidated filter from the seen table
-      bloomBank = Vector(state.seen.stat.bloomFilter("urlHash",
-        math.max(cfg.bloomExpected, 1L), cfg.bloomFpp))
+      bloomBank = Vector(spark.sparkContext.broadcast(
+        state.seen.stat.bloomFilter("urlHash",
+          math.max(cfg.bloomExpected, 1L), cfg.bloomFpp)))
       bloomRound = state.round
     }
     bloomBank
@@ -402,8 +408,8 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
     if (!cfg.useBloom) return
     if (bloomRound >= 0 && bloomBank.nonEmpty) {
       if (deltaRows > 0)
-        bloomBank :+= delta.stat.bloomFilter("urlHash",
-          math.max(deltaRows, 1024L), cfg.bloomFpp)
+        bloomBank :+= spark.sparkContext.broadcast(
+          delta.stat.bloomFilter("urlHash", math.max(deltaRows, 1024L), cfg.bloomFpp))
       if (bloomBank.size > cfg.bloomMaxDeltas) bloomBank = Vector.empty // rebuild next round
     }
     bloomRound = round
@@ -735,84 +741,6 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
       .select("url", "urlHash", "parentSeq", "linkIdx")
       .cache()
 
-    inParallel(
-      // trace: the crawl ordering artifact (round = partition dir;
-      // status-0 rows are fetch exceptions with their class)
-      () => fetched
-        .select(col("seq"), col("url"), col("isRobots"), col("status"), col("excClass"))
-        .write.mode(SaveMode.Overwrite).parquet(appendDir("trace", round)),
-      // robots store sink (the robots WARC stream,
-      // ParsingThread.java:325-327): every robots.txt response
-      () => if (cfg.storeDocs) fetched
-        .where(col("isRobots"))
-        .select(col("url"), col("schemeAuthority"), col("status"),
-          col("excClass"), col("robotsPrefixes"))
-        .write.mode(SaveMode.Overwrite).parquet(appendDir("robots_fetches", round)),
-      () => if (cfg.storeDocs) {
-        docs.where(col("__store"))
-          .select(col("url").as("doc_id"), col("schemeAuthority"), col("spans"),
-            col("digest"), col("status"), col("is_duplicate"), col("truncated"),
-            size(coalesce(col("links"), array())).as("n_links"),
-            // external outdegree: links whose host differs from the page's
-            // (ParsingThread.java:386-389)
-            size(filter(coalesce(col("links"), array()),
-              l => !burl_host(l).eqNullSafe(burl_host(col("url")))))
-              .as("n_links_ext")) // round = partition dir
-          .write.mode(SaveMode.Overwrite).parquet(appendDir("docs", round))
-        newDigests.write.mode(SaveMode.Overwrite).parquet(appendDir("digests", round))
-        duplicates = docs.where(col("is_duplicate")).count()
-      },
-      () => { dedupIn = parsedLinks.count() })
-
-    val blooms = bloomFilters(st)
-    val broadcastProbe = dedupIn <= cfg.probeThreshold
-    // parentSeq bounds of this round's links drive the deterministic rank
-    // buckets (from the fetch-materialization job's scalars)
-    val (loSeq, hiSeq) =
-      if (fetchStats.isNullAt(1)) (0L, 0L) else (fetchStats.getLong(1), fetchStats.getLong(2))
-    // first new seq is exactly maxSeq (dense continuation of enqueue
-    // order); the sieve output is materialized (lc) — the rank count
-    // pass, the rank pass, the seen append, and the bloom delta reuse it.
-    // With a bloom bank the scan-probe path is used: the seen store is
-    // only ever SCANNED, never shuffled/sorted/broadcast (the r2 SMJ path
-    // re-shuffled all accumulated seen hashes every round).
-    val sievedInput =
-      if (blooms.nonEmpty)
-        Sieve.newUrlsScanProbe(parsedLinks, seen, Seq("parentSeq", "linkIdx"),
-          blooms, lc, broadcastLimit = cfg.probeThreshold)
-      else Sieve
-        .newUrls(parsedLinks, seen, Seq("parentSeq", "linkIdx"), Nil, broadcastProbe)
-        .transform(lc)
-    // 8x-oversplit buckets: parentSeq density is uneven (popular hosts
-    // sit at low seqs), so fine-grained monotone buckets keep the rank
-    // window's tasks balanced
-    val (sieved, sieveOut) = Sieve.assignSeq(
-      sievedInput, Seq("parentSeq", "linkIdx"), startSeq = maxSeq - 1L,
-      Sieve.linearBuckets(col("parentSeq"), loSeq, hiSeq, math.max(8, cfg.statePartitions * 8)))
-
-    // budget: enforced at sieve exit like Frontier.append (Frontier.java:810-814)
-    val newFrontierAll = toFrontier(sieved.select("url", "urlHash", "seq"))
-    val newFrontier = (if (cfg.maxUrlsPerHost == Long.MaxValue) newFrontierAll
-      else {
-        val withStored = newFrontierAll
-          .join(hosts.select("hostHash", "stored"), Seq("hostHash"), "left")
-          .na.fill(0L, Seq("stored"))
-        val k = math.min(cfg.maxUrlsPerHost, Int.MaxValue.toLong).toInt
-        Ranking.topKPerKey(withStored, "hostHash", Seq("seq"), k, rankCol = "__r")
-          .where(col("stored") + col("__r") <= cfg.maxUrlsPerHost)
-          .drop("__r", "stored")
-      })
-
-    var newDelta: DataFrame = null
-    inParallel(
-      // seen append: ALL sieved urls (even budget-dropped ones are "seen"
-      // — the reference sieve recorded them before append()'s budget
-      // re-check)
-      () => sievedInput.select("urlHash")
-        .write.mode(SaveMode.Overwrite).parquet(appendDir("seen", round)),
-      () => extendBloom(st, sievedInput, sieveOut, round),
-      () => { newDelta = lc(newFrontier.select(st.frontier.columns.map(col): _*)) })
-
     // --- per-host state machine (reference ParsingThread.java:253-312) ---
     val hostAgg = fetched.groupBy("hostHash").agg(
       sum(when(!col("isRobots") && col("excClass").isNull && col("status") === 200, 1L)
@@ -898,6 +826,110 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
       .where(!col("isRobots") && col("excClass").isNull).select("urlHash")
     val tombstoneDelta = completedUrls.unionByName(disallowed).unionByName(droppedUrls)
 
+    val blooms = bloomFilters(st)
+    // parentSeq bounds of this round's links drive the deterministic rank
+    // buckets (from the fetch-materialization job's scalars)
+    val (loSeq, hiSeq) =
+      if (fetchStats.isNullAt(1)) (0L, 0L) else (fetchStats.getLong(1), fetchStats.getLong(2))
+
+    // --- overlapped phase 1: sinks + link batch + SIEVE CHAIN + host/tomb
+    // state folds. These are independent DAG branches; the sieve chain is
+    // internally sequential (materialize -> count -> bloom -> anti-join),
+    // so running it ALONE left cores idle at every one of its barriers —
+    // the concurrent branches keep the executor fed (the r3 occupancy
+    // probe measured 69% at 16 threads vs 82% at 4; this phase structure
+    // is the fix) ---
+    var sievedInput: DataFrame = null
+    var tombstonesNext: DataFrame = null
+    var tombRowsNext = 0L
+    inParallel(
+      // trace: the crawl ordering artifact (round = partition dir;
+      // status-0 rows are fetch exceptions with their class)
+      () => fetched
+        .select(col("seq"), col("url"), col("isRobots"), col("status"), col("excClass"))
+        .write.mode(SaveMode.Overwrite).parquet(appendDir("trace", round)),
+      // robots store sink (the robots WARC stream,
+      // ParsingThread.java:325-327): every robots.txt response
+      () => if (cfg.storeDocs) fetched
+        .where(col("isRobots"))
+        .select(col("url"), col("schemeAuthority"), col("status"),
+          col("excClass"), col("robotsPrefixes"))
+        .write.mode(SaveMode.Overwrite).parquet(appendDir("robots_fetches", round)),
+      () => if (cfg.storeDocs) {
+        docs.where(col("__store"))
+          .select(col("url").as("doc_id"), col("schemeAuthority"), col("spans"),
+            col("digest"), col("status"), col("is_duplicate"), col("truncated"),
+            size(coalesce(col("links"), array())).as("n_links"),
+            // external outdegree: links whose host differs from the page's
+            // (ParsingThread.java:386-389)
+            size(filter(coalesce(col("links"), array()),
+              l => !burl_host(l).eqNullSafe(burl_host(col("url")))))
+              .as("n_links_ext")) // round = partition dir
+          .write.mode(SaveMode.Overwrite).parquet(appendDir("docs", round))
+        newDigests.write.mode(SaveMode.Overwrite).parquet(appendDir("digests", round))
+        duplicates = docs.where(col("is_duplicate")).count()
+      },
+      // link batch + sieve: the seen store is only ever SCANNED, never
+      // shuffled/sorted/broadcast (scan-probe; the r2 SMJ path re-shuffled
+      // all accumulated seen hashes every round)
+      () => {
+        dedupIn = parsedLinks.count()
+        sievedInput =
+          if (blooms.nonEmpty)
+            Sieve.newUrlsScanProbe(parsedLinks, seen, Seq("parentSeq", "linkIdx"),
+              blooms, lc, broadcastLimit = cfg.probeThreshold)
+          else Sieve
+            .newUrls(parsedLinks, seen, Seq("parentSeq", "linkIdx"), Nil,
+              broadcastProbe = dedupIn <= cfg.probeThreshold)
+            .transform(lc)
+      },
+      // host-state update (materializes the hostsU cache + hostAgg
+      // broadcast) and the tombstone fold — both independent of the sieve
+      () => {
+        tombstonesNext = st.tombstones.unionByName(tombstoneDelta).transform(lc)
+        tombRowsNext = tombstonesNext.count() // cheap: counts the lc'd blocks
+      })
+
+    // --- overlapped phase 2: rank assignment + frontier delta (the
+    // sequential rank chain) alongside the seen append and the delta
+    // bloom, which need only the materialized sieve output ---
+    var sieved: DataFrame = null
+    var sieveOut = 0L
+    var newDelta: DataFrame = null
+    inParallel(
+      () => {
+        // 8x-oversplit buckets: parentSeq density is uneven (popular hosts
+        // sit at low seqs), so fine-grained monotone buckets keep the rank
+        // window's tasks balanced. First new seq is exactly maxSeq (dense
+        // continuation of enqueue order).
+        val r = Sieve.assignSeq(
+          sievedInput, Seq("parentSeq", "linkIdx"), startSeq = maxSeq - 1L,
+          Sieve.linearBuckets(col("parentSeq"), loSeq, hiSeq, math.max(8, cfg.statePartitions * 8)))
+        sieved = r._1
+        sieveOut = r._2
+        // budget: enforced at sieve exit like Frontier.append (Frontier.java:810-814)
+        val newFrontierAll = toFrontier(sieved.select("url", "urlHash", "seq"))
+        val newFrontier = (if (cfg.maxUrlsPerHost == Long.MaxValue) newFrontierAll
+          else {
+            val withStored = newFrontierAll
+              .join(hosts.select("hostHash", "stored"), Seq("hostHash"), "left")
+              .na.fill(0L, Seq("stored"))
+            val k = math.min(cfg.maxUrlsPerHost, Int.MaxValue.toLong).toInt
+            Ranking.topKPerKey(withStored, "hostHash", Seq("seq"), k, rankCol = "__r")
+              .where(col("stored") + col("__r") <= cfg.maxUrlsPerHost)
+              .drop("__r", "stored")
+          })
+        newDelta = lc(newFrontier.select(st.frontier.columns.map(col): _*))
+      },
+      // seen append: ALL sieved urls (even budget-dropped ones are "seen"
+      // — the reference sieve recorded them before append()'s budget
+      // re-check)
+      () => sievedInput.select("urlHash")
+        .write.mode(SaveMode.Overwrite).parquet(appendDir("seen", round)),
+      // delta bloom sized by dedupIn (an upper bound on the delta row
+      // count, already known — sieveOut is being computed concurrently)
+      () => extendBloom(st, sievedInput, dedupIn, round))
+
     val frontierNext = st.frontier.unionByName(newDelta)
     val dedupOut =
       if (cfg.maxUrlsPerHost == Long.MaxValue) sieveOut else newDelta.count()
@@ -964,17 +996,11 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
     // --- commit: snapshot on cadence, thread state in memory otherwise ---
     // all state materializations + the metrics sink are independent
     val snapDue = cfg.checkpointEvery <= 1 || round % cfg.checkpointEvery == 0
-    var tombstonesNext: DataFrame = null
-    var tombRowsNext = 0L
     var hNextMem: DataFrame = null
     var iNextMem: DataFrame = null
     var digestsLc: DataFrame = null
     var selHosts = 0L
     inParallel(
-      () => {
-        tombstonesNext = st.tombstones.unionByName(tombstoneDelta).transform(lc)
-        tombRowsNext = tombstonesNext.count() // cheap: counts the lc'd blocks
-      },
       () => metricsOut.write.mode(SaveMode.Overwrite).parquet(appendDir("metrics", round)),
       () => if (!snapDue) hNextMem = hostsNext.transform(lc),
       () => if (!snapDue) iNextMem = ipsNext.transform(lc),

@@ -57,7 +57,7 @@ object Sieve {
       case bank =>
         // bank of filters: the consolidated base + per-round deltas (the
         // broadcast-REFRESHED filter is extended, not rebuilt, each round)
-        val bcast = spark.sparkContext.broadcast(bank.toArray)
+        val bcast = bank.map(spark.sparkContext.broadcast(_))
         // Definitely-new rows skip the join entirely; only bloom-positive
         // rows (true hits + false positives) pay the exact membership check.
         // might_contain_bank is a codegen'd expression: the prefilter stays
@@ -109,30 +109,37 @@ object Sieve {
       candidates: DataFrame,
       seen: DataFrame,
       orderCols: Seq[String],
-      bank: Seq[BloomFilter],
+      bank: Seq[org.apache.spark.broadcast.Broadcast[BloomFilter]],
       mat: DataFrame => DataFrame,
       broadcastLimit: Long,
       batchFpp: Double = 0.001): DataFrame = {
     require(bank.nonEmpty, "newUrlsScanProbe needs a non-empty bloom bank")
     val spark = candidates.sparkSession
-    val bcast = spark.sparkContext.broadcast(bank.toArray)
     val flagged = mat(
       Ranking.firstPerKey(candidates, "urlHash", orderCols)
-        .withColumn("__maybe", graft.functions.might_contain_bank(col("urlHash"), bcast)))
+        .withColumn("__maybe", graft.functions.might_contain_bank(col("urlHash"), bank)))
     val sure = flagged.where(!col("__maybe")).drop("__maybe")
     val maybe = flagged.where(col("__maybe")).drop("__maybe")
     val maybeCount = maybe.count() // cheap: counts the materialized blocks
     if (maybeCount == 0) return sure
     val batchBloom = maybe.stat.bloomFilter("urlHash", math.max(maybeCount, 1024L), batchFpp)
-    val bb = spark.sparkContext.broadcast(Array(batchBloom))
-    val present = mat(seen.where(graft.functions.might_contain_bank(col("urlHash"), bb)))
-    val presentCount = present.count()
-    if (presentCount == 0) return flagged.drop("__maybe") // every maybe was a false positive
-    val maybeNew =
-      if (presentCount <= broadcastLimit)
-        maybe.join(broadcast(present), Seq("urlHash"), "left_anti")
-      else maybe.join(present, Seq("urlHash"), "left_anti")
-    sure.unionByName(mat(maybeNew))
+    val bb = Seq(spark.sparkContext.broadcast(batchBloom))
+    val present = seen.where(graft.functions.might_contain_bank(col("urlHash"), bb))
+    if (maybeCount <= broadcastLimit) {
+      // present ⊆ maybe fits the broadcast limit BY CONSTRUCTION — no
+      // materialization/count barrier; the broadcast build performs the
+      // one seen scan inside the same job that materializes the output
+      sure.unionByName(mat(maybe.join(broadcast(present), Seq("urlHash"), "left_anti")))
+    } else {
+      val presentM = mat(present)
+      val presentCount = presentM.count()
+      if (presentCount == 0) return flagged.drop("__maybe") // every maybe was a false positive
+      val maybeNew =
+        if (presentCount <= broadcastLimit)
+          maybe.join(broadcast(presentM), Seq("urlHash"), "left_anti")
+        else maybe.join(presentM, Seq("urlHash"), "left_anti")
+      sure.unionByName(mat(maybeNew))
+    }
   }
 
   /** Build a bloom filter over the seen table's hashes (one pass; driver

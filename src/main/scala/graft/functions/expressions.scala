@@ -218,25 +218,33 @@ object BloomBank {
     while (i < fs.length) { if (fs(i).mightContainLong(h)) return true; i += 1 }
     false
   }
+  def unwrap(bank: Array[org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]])
+      : Array[org.apache.spark.util.sketch.BloomFilter] = bank.map(_.value)
 }
 
-/** Codegen'd membership probe against a broadcast BANK of bloom filters
-  * (the sieve's consolidated base + per-round deltas). Every candidate URL
-  * crosses this once per round — as a Scala UDF it forced a
+/** Codegen'd membership probe against a BANK of individually-broadcast
+  * bloom filters (the sieve's consolidated base + per-round deltas). Every
+  * candidate URL crosses this once per round — as a Scala UDF it forced a
   * codegen->Scala boundary per row on the widest stream; as a native
-  * expression the prefilter stays inside whole-stage codegen. */
+  * expression the prefilter stays inside whole-stage codegen.
+  *
+  * Each filter is broadcast ONCE when it is built: re-broadcasting the
+  * whole (tens-of-MB) bank every round serialized it on the driver and
+  * re-shipped it to every executor per round — per-filter broadcasts make
+  * the per-round cost just the (small) new delta. */
 case class MightContainBank(child: Expression,
-    bank: org.apache.spark.broadcast.Broadcast[Array[org.apache.spark.util.sketch.BloomFilter]])
+    bank: Array[org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]])
   extends UnaryExpression {
   override def dataType: DataType = BooleanType
+  @transient private lazy val filters = BloomBank.unwrap(bank)
   override def nullSafeEval(input: Any): Any =
-    BloomBank.mightContain(bank.value, input.asInstanceOf[Long])
+    BloomBank.mightContain(filters, input.asInstanceOf[Long])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val bankRef = ctx.addReferenceObj("bloomBank", bank,
-      "org.apache.spark.broadcast.Broadcast")
-    // unwrap the broadcast ONCE per task, not per row
+    val bankRef = ctx.addReferenceObj("bloomBankRefs", bank,
+      "org.apache.spark.broadcast.Broadcast[]")
+    // unwrap the broadcasts ONCE per task, not per row
     val arr = ctx.addMutableState("org.apache.spark.util.sketch.BloomFilter[]", "bloomArr",
-      v => s"$v = (org.apache.spark.util.sketch.BloomFilter[]) $bankRef.value();")
+      v => s"$v = graft.functions.BloomBank.unwrap($bankRef);")
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.BloomBank.mightContain($arr, $c);")
   }

@@ -158,7 +158,7 @@ class PlanQualitySpec extends AnyFunSuite {
     spark.sparkContext.addSparkListener(listener)
     try {
       val out = graft.frontier.Sieve.newUrlsScanProbe(batch, seen,
-        Seq("parentSeq", "linkIdx"), Seq(bloom),
+        Seq("parentSeq", "linkIdx"), Seq(spark.sparkContext.broadcast(bloom)),
         mat = df => df.localCheckpoint(true), broadcastLimit = 1L << 20)
       assert(out.select("urlHash").as[Long].collect().toSet == (100001L to 102000L).toSet)
       assert(!finalPlan(out).contains("SortMergeJoin"))
