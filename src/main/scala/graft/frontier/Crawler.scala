@@ -563,7 +563,15 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
         col("h.urlHash").as("urlHash"), col("hostHash"), col("ipHash"),
         col("h.seq").as("seq"), lit(false).as("isRobots"), attemptCol)
 
-    val units = robotsUnits.unionByName(pageUnits).as[FetchUnit]
+    // oversplit ONLY the fetch stage: page render+parse cost is lognormal
+    // per host, so at partitions==threads the heaviest tasks leave cores
+    // idle at the stage tail; 4x granularity lets the scheduler pack.
+    // The repartition shuffles just the (small) unit rows, and the finer
+    // layout carries through to the equally-heavy link-parse stage that
+    // reads the cached fetch batch.
+    val units = robotsUnits.unionByName(pageUnits)
+      .repartition(cfg.statePartitions * 4, col("urlHash"))
+      .as[FetchUnit]
 
     // --- synthetic fetch + REAL parse (typed Dataset map; pure functions):
     // the page is rendered to markup and run through HtmlParser — links,
@@ -596,10 +604,17 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
           // hashes host + NUL + body): identical bodies on DIFFERENT hosts
           // stay distinct unless crossAuthorityDuplicates
           val bin = f"${graft.core.MurmurHash3Bubing.hashString(u.host + "\u0000" + html)}%016x"
+          var nb = 0L
+          var nm = 0
+          pr.spans.foreach { s =>
+            nb += s.text.length
+            if (s.kind == "media") nm += 1
+          }
           FetchResult(u.url, u.urlHash, u.schemeAuthority, u.host, u.hostHash, u.ipHash,
             u.seq, status, isRobots = false, excClass = null, truncated = truncated,
             contentType = "text/html", digest = pr.digest, binaryDigest = bin,
-            robotsPrefixes = null, spans = pr.spans, links = pr.links, round = rnd)
+            robotsPrefixes = null, spans = pr.spans, links = pr.links, round = rnd,
+            nBytes = nb, nMedia = nm, nLinks = pr.links.size)
         } else {
           FetchResult(u.url, u.urlHash, u.schemeAuthority, u.host, u.hostHash, u.ipHash,
             u.seq, status, isRobots = false, excClass = null, truncated = false,
@@ -877,7 +892,8 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
         sievedInput =
           if (blooms.nonEmpty)
             Sieve.newUrlsScanProbe(parsedLinks, seen, Seq("parentSeq", "linkIdx"),
-              blooms, lc, broadcastLimit = cfg.probeThreshold)
+              blooms, lc, broadcastLimit = cfg.probeThreshold,
+              candidateCount = dedupIn)
           else Sieve
             .newUrls(parsedLinks, seen, Seq("parentSeq", "linkIdx"), Nil,
               broadcastProbe = dedupIn <= cfg.probeThreshold)
@@ -974,13 +990,14 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
         sum(when(col("isRobots") && col("excClass").isNull, 1L).otherwise(0L)).as("robots_fetched"),
         sum(when(col("status") === 200 && !col("isRobots"), 1L).otherwise(0L)).as("parsed"),
         sum(when(col("excClass").isNotNull, 1L).otherwise(0L)).as("failed"),
-        sum(size(coalesce(col("links"), array()))).cast("long").as("links_out"),
-        // bytes + media-span counters (reference Frontier transferredBytes
-        // / contentType-class counters); null spans (parse-gated) skip
-        sum(aggregate(transform(col("spans"), s => length(s.getField("text"))),
-          lit(0), (a, x) => a + x)).cast("long").as("bytes_fetched"),
-        sum(size(filter(col("spans"), s => s.getField("kind") === "media")))
-          .cast("long").as("media_spans"))
+        // bytes + media-span + link counters (reference Frontier
+        // transferredBytes / contentType-class counters) come from the
+        // fetch-map-precomputed scalars: aggregating the raw spans/links
+        // columns here forced a full decompression of the fat columns of
+        // the cached fetch batch just for telemetry
+        sum("nLinks").cast("long").as("links_out"),
+        sum("nBytes").cast("long").as("bytes_fetched"),
+        sum("nMedia").cast("long").as("media_spans"))
       .na.fill(0L, Seq("bytes_fetched", "media_spans"))
       .withColumn("dedup_in", lit(0L))
       .withColumn("dedup_out", lit(0L))

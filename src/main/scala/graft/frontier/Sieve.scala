@@ -112,33 +112,37 @@ object Sieve {
       bank: Seq[org.apache.spark.broadcast.Broadcast[BloomFilter]],
       mat: DataFrame => DataFrame,
       broadcastLimit: Long,
+      candidateCount: Long,
       batchFpp: Double = 0.001): DataFrame = {
-    require(bank.nonEmpty, "newUrlsScanProbe needs a non-empty bloom bank")
     val spark = candidates.sparkSession
-    val flagged = mat(
-      Ranking.firstPerKey(candidates, "urlHash", orderCols)
-        .withColumn("__maybe", graft.functions.might_contain_bank(col("urlHash"), bank)))
-    val sure = flagged.where(!col("__maybe")).drop("__maybe")
-    val maybe = flagged.where(col("__maybe")).drop("__maybe")
-    val maybeCount = maybe.count() // cheap: counts the materialized blocks
-    if (maybeCount == 0) return sure
-    val batchBloom = maybe.stat.bloomFilter("urlHash", math.max(maybeCount, 1024L), batchFpp)
+    // batch bloom over ALL candidate hashes: one column-pruned scan of the
+    // (columnar-cached) candidate batch — the batch itself is NOT
+    // materialized for this. Bank-negative (sure-new) candidates cannot be
+    // in seen, so `present` computed from the all-candidates bloom equals
+    // seen ∩ batch exactly (plus ~seen*fpp false positives).
+    val batchBloom = candidates.stat.bloomFilter("urlHash",
+      math.max(candidateCount, 1024L), batchFpp)
     val bb = Seq(spark.sparkContext.broadcast(batchBloom))
-    val present = seen.where(graft.functions.might_contain_bank(col("urlHash"), bb))
-    if (maybeCount <= broadcastLimit) {
-      // present ⊆ maybe fits the broadcast limit BY CONSTRUCTION — no
-      // materialization/count barrier; the broadcast build performs the
-      // one seen scan inside the same job that materializes the output
-      sure.unionByName(mat(maybe.join(broadcast(present), Seq("urlHash"), "left_anti")))
-    } else {
-      val presentM = mat(present)
-      val presentCount = presentM.count()
-      if (presentCount == 0) return flagged.drop("__maybe") // every maybe was a false positive
-      val maybeNew =
-        if (presentCount <= broadcastLimit)
-          maybe.join(broadcast(presentM), Seq("urlHash"), "left_anti")
-        else maybe.join(presentM, Seq("urlHash"), "left_anti")
-      sure.unionByName(mat(maybeNew))
+    val present = mat(seen.where(graft.functions.might_contain_bank(col("urlHash"), bb)))
+    val presentCount = present.count()
+    val deduped = Ranking.firstPerKey(candidates, "urlHash", orderCols)
+    if (presentCount == 0) return mat(deduped)
+    if (presentCount <= broadcastLimit)
+      // ONE materialization of the batch: dedup feeds the broadcast
+      // anti-join directly (a hash-set probe per row costs what the bloom
+      // probe did, and replaces it)
+      mat(deduped.join(broadcast(present), Seq("urlHash"), "left_anti"))
+    else {
+      // oversized present set (a mostly-already-seen batch): split the
+      // batch with the URL-seen bloom bank so only the maybe-seen leg
+      // pays the shuffle join — and both legs are still joined against
+      // `present`, never against the full seen store
+      require(bank.nonEmpty, "newUrlsScanProbe fallback needs the bloom bank")
+      val flagged = mat(deduped.withColumn("__maybe",
+        graft.functions.might_contain_bank(col("urlHash"), bank)))
+      val sure = flagged.where(!col("__maybe")).drop("__maybe")
+      val maybe = flagged.where(col("__maybe")).drop("__maybe")
+      sure.unionByName(mat(maybe.join(present, Seq("urlHash"), "left_anti")))
     }
   }
 

@@ -81,7 +81,13 @@ case class FetchResult(
     robotsPrefixes: Seq[String],
     spans: Seq[Span],
     links: Seq[String],
-    round: Int)
+    round: Int,
+    /** pre-aggregated telemetry, computed in the fetch map so the metrics
+      * aggregation never has to decompress the (heavy) spans/links columns
+      * of the cached fetch batch */
+    nBytes: Long = 0L,
+    nMedia: Int = 0,
+    nLinks: Int = 0)
 
 /** One stored document (the WARC-store analog, `store/WarcStore.java:41`). */
 case class StoredDoc(

@@ -159,9 +159,17 @@ class PlanQualitySpec extends AnyFunSuite {
     try {
       val out = graft.frontier.Sieve.newUrlsScanProbe(batch, seen,
         Seq("parentSeq", "linkIdx"), Seq(spark.sparkContext.broadcast(bloom)),
-        mat = df => df.localCheckpoint(true), broadcastLimit = 1L << 20)
+        mat = df => df.localCheckpoint(true), broadcastLimit = 1L << 20,
+        candidateCount = 3000L)
       assert(out.select("urlHash").as[Long].collect().toSet == (100001L to 102000L).toSet)
       assert(!finalPlan(out).contains("SortMergeJoin"))
+      // the oversized-present fallback path is exact too (bank-split +
+      // join against present, still never against the full seen store)
+      val outFb = graft.frontier.Sieve.newUrlsScanProbe(batch, seen,
+        Seq("parentSeq", "linkIdx"), Seq(spark.sparkContext.broadcast(bloom)),
+        mat = df => df.localCheckpoint(true), broadcastLimit = 10L,
+        candidateCount = 3000L)
+      assert(outFb.select("urlHash").as[Long].collect().toSet == (100001L to 102000L).toSet)
       // let straggler stage-completed events drain
       var last = -1L
       var stable = 0
