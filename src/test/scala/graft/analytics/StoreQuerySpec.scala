@@ -124,4 +124,27 @@ class StoreQuerySpec extends AnyFunSuite {
     val prog = CrawlStats.progress(crawler.metrics()).collect()
     assert(prog.nonEmpty && prog.forall(_.getAs[Long]("fetched") > 0))
   }
+
+  test("digest_of_spans groups markup variants by span content, host-seeded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      ("h1.example", "hello world 123"), // digits coalesce: same as 999
+      ("h1.example", "hello world 999"),
+      ("h2.example", "hello world 123"), // different host -> different digest
+      ("h1.example", "hello  world 123")) // ws runs coalesce: same as single space
+      .toDF("host", "text")
+      .select(col("host"), array(
+        struct(lit("text").as("kind"), col("text").as("text"),
+          lit("").as("media_ref"), lit(0).as("offset")),
+        struct(lit("media").as("kind"), lit("").as("text"),
+          lit("http://m/x.jpg").as("media_ref"), lit(1).as("offset"))).as("spans"))
+      .select(graft.functions.digest_of_spans(
+        col("host"), col("spans"), lit(200), lit(null).cast("string")).as("d"))
+    val d = rows.collect().map(_.getString(0))
+    assert(d(0) == d(1), "digit runs must coalesce into the same span digest")
+    assert(d(0) == d(3), "whitespace runs must coalesce into the same span digest")
+    assert(d(0) != d(2), "digests must be host-seeded")
+    assert(d(0).length == 32) // hex MD5
+  }
 }

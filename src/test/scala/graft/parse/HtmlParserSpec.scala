@@ -202,4 +202,15 @@ class HtmlParserSpec extends AnyFunSuite {
     assertSameDigest("<!DOCTYPE html>x", "x")
     assert(HtmlParser.parse("http://h/", "<!-- <a href='http://x/'>y</a> -->").links.isEmpty)
   }
+
+  test("entity references in attribute values decode before resolve (Jericho semantics)") {
+    val r = HtmlParser.parse("http://h.example/base/",
+      """<a href="a?x=1&amp;y=2">l</a><img src="i.jpg?a=1&amp;b=2">""" +
+        """<meta http-equiv="refresh" content="0; URL=r?p=1&amp;q=2">""")
+    assert(r.links.contains("http://h.example/base/a?x=1&y=2"),
+      s"href &amp; not decoded: ${r.links}")
+    assert(r.links.contains("http://h.example/base/i.jpg?a=1&b=2"))
+    assert(r.links.contains("http://h.example/base/r?p=1&q=2"))
+    assert(!r.links.exists(_.contains("&amp;")))
+  }
 }
