@@ -164,6 +164,10 @@ object BenchProbe {
     println(listener.topStages(14))
     println("[probe] job timeline (>=400ms):")
     println(listener.timeline(400))
+    try {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(work)).deleteRecursively() // tmpfs hygiene
+    } catch { case _: Exception => () }
     spark.stop()
   }
 }

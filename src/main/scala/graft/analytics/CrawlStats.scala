@@ -63,6 +63,16 @@ object CrawlStats {
         max("n_hosts").as("max_hosts_per_ip"),
         var_samp("n_hosts").as("var_hosts_per_ip"))
 
+  /** Exact vs approximate distinct-URL census of a hash table (seen or
+    * frontier): the approximate side is one HLL++ pass (SURVEY.md §2.4
+    * "approx distinct" — the StatsThread distinct-URL telemetry at scales
+    * where exact counting is a full shuffle). `rsd` is the HLL relative
+    * standard deviation. */
+  def distinctUrlStats(hashes: DataFrame, rsd: Double = 0.02): DataFrame =
+    hashes.agg(
+      count(lit(1)).as("n_rows"),
+      approx_count_distinct("urlHash", rsd).as("approx_distinct"))
+
   /** Per-round crawl progress from the metrics table (global rows). */
   def progress(metrics: DataFrame): DataFrame = {
     val perRound = metrics.groupBy("round").agg(

@@ -33,6 +33,16 @@ class CrawlStatsSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("var_hosts_per_ip") - 0.5) < 1e-12)
   }
 
+  test("distinctUrlStats: HLL approx distinct tracks the exact count") {
+    import spark.implicits._
+    // 10k distinct hashes, each duplicated: n_rows 20k, distinct 10k
+    val hashes = (1L to 10000L).flatMap(h => Seq(h, h)).toDF("urlHash")
+    val r = CrawlStats.distinctUrlStats(hashes).collect()(0)
+    assert(r.getAs[Long]("n_rows") == 20000L)
+    val approx = r.getAs[Long]("approx_distinct")
+    assert(math.abs(approx - 10000L) <= 600, s"approx=$approx off by >6%")
+  }
+
   test("outdegreeStats reports total and external outdegree") {
     import spark.implicits._
     val docs = Seq((4, 1), (2, 2)).toDF("n_links", "n_links_ext")
