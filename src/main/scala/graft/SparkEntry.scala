@@ -268,6 +268,24 @@ object SparkEntry {
     Similarity.lshTopKBucketed(s, path, q, 10, planes = 8)
   }
 
+  /** ANN over the IVF (k-means cell) partitioned layout — the trained
+    * coarse-quantizer alternative to the hash-plane buckets; the probe
+    * reads only the nprobe nearest cells' partitions. */
+  private val ivfMemo = new java.util.concurrent.ConcurrentHashMap[String, (String, Array[Array[Double]])]()
+  private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val (path, centroids) = ivfMemo.computeIfAbsent(s.sparkContext.applicationId + dir, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-ann-ivf").toString
+      val c = Similarity.writeIvf(
+        s.read.parquet(t(dir, "embeddings")).where(col("vec_id") =!= 0),
+        "vec_id", "embedding", p, cells = 32, seed = 42L)
+      (p, c)
+    })
+    val q = s.read.parquet(t(dir, "embeddings")).where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    Similarity.ivfTopK(s, path, centroids, q, 10, nprobe = 8)
+  }
+
   private def qEmbeddingNearDup(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDupPairs(
       s.read.parquet(t(dir, "embeddings")).limit(2000), "vec_id", "embedding",
@@ -375,6 +393,7 @@ object SparkEntry {
     "q_ann_brute" -> (qAnnBrute(_, _)),
     "q_ann_lsh" -> (qAnnLsh(_, _)),
     "q_ann_lsh_bucketed" -> (qAnnLshBucketed(_, _)),
+    "q_ann_ivf" -> (qAnnIvf(_, _)),
     "q_embedding_neardup" -> (qEmbeddingNearDup(_, _)),
     "q_media_features" -> (qMediaFeatures(_, _)),
     "q_parse_spans" -> (qParseSpans(_, _)),

@@ -108,6 +108,53 @@ object Similarity {
       .limit(k)
   }
 
+  /** Local cosine (driver-side probe planning). */
+  private def cosineLocal(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** IVF (inverted-file) coarse quantizer: k-means cells TRAINED on the
+    * corpus instead of data-oblivious hash planes — cells adapt to the
+    * embedding distribution, so populations stay balanced where hyperplane
+    * buckets can skew badly on clustered data. Same layout contract as
+    * [[writeBucketed]]: the corpus is written partitioned by cell id, so a
+    * probe reads only its cells' directories (~nprobe/cells of the table).
+    * Deterministic for a fixed seed and input. Returns the centroids
+    * (driver-side, cells x dim — a few KB) for probe planning. */
+  def writeIvf(emb: DataFrame, idCol: String, vecCol: String, path: String,
+      cells: Int = 64, seed: Long = 42L, maxIter: Int = 10): Array[Array[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val v = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val withFeat = v.withColumn("features", array_to_vector(col("v")))
+    val model = new KMeans().setK(cells).setSeed(seed).setMaxIter(maxIter)
+      .fit(withFeat)
+    model.transform(withFeat)
+      .select(col("id"), col("v"), col("prediction").as("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(path)
+    model.clusterCenters.map(_.toArray)
+  }
+
+  /** IVF top-k: rank the query against the driver-local centroids, read
+    * ONLY the `nprobe` nearest cells (a static IN-list on the partition
+    * column -> PartitionFilters pruning), exact cosine within them.
+    * `nprobe == cells` degrades gracefully to the exact full scan. */
+  def ivfTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+      centroids: Array[Array[Double]], query: Array[Double], k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val probeCells = centroids.zipWithIndex
+      .sortBy { case (c, i) => (-cosineLocal(c, query), i) }
+      .take(math.max(1, nprobe)).map(_._2)
+    val q = array(query.map(lit): _*)
+    spark.read.parquet(path)
+      .where(col("cell").isin(probeCells.toSeq: _*))
+      .select(col("id"), cosine(col("v"), q).as("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+  }
+
   /** All-pairs exact top-k neighbors for a SMALL id set (verification /
     * golden stage): ids x corpus, rank per id. */
   def topKForIds(emb: DataFrame, idCol: String, vecCol: String,

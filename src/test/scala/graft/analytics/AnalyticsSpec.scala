@@ -123,6 +123,34 @@ class AnalyticsSpec extends AnyFunSuite {
       s"expected partition pruning in plan:\n$planStr")
   }
 
+  test("IVF layout: full-probe equals brute force; pruned probe prunes partitions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val emb = (1L to 300L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = Array.fill(16)(rnd.nextGaussian())
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-ivf").toString
+    val centroids = Similarity.writeIvf(emb, "vec_id", "embedding", dir, cells = 8, seed = 42L)
+    assert(centroids.length == 8 && centroids.head.length == 16)
+    // probing ALL cells degrades to the exact scan: equal to brute force
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("cosine"))).toSet
+    val full = Similarity.ivfTopK(spark, dir, centroids, q, 10, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(full == exact, "full-probe IVF must equal the exact scan")
+    // pruned probe: k rows, cosines are true cosines, and the scan carries
+    // partition filters on the cell column
+    val pruned = Similarity.ivfTopK(spark, dir, centroids, q, 10, nprobe = 2)
+    val rows = pruned.collect()
+    assert(rows.length == 10)
+    val bruteAll = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 300)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("cosine")).toMap
+    rows.foreach(r => assert(math.abs(bruteAll(r.getLong(0)) - r.getDouble(1)) < 1e-12))
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") && planStr.contains("cell"),
+      s"expected partition pruning on cell:\n$planStr")
+  }
+
   test("LSH skew guard: a degenerate corpus (identical docs) stays bounded") {
     import spark.implicits._
     // 3000 identical docs + 4 distinct: without the bucket cap every band
