@@ -156,6 +156,19 @@ case class FetchUnit(
   * selected burst and the new-link batch. No full-frontier sort, window,
   * or join-back remains on the round path.
   *
+  * The remaining O(frontier)-per-round term is that heads scan. The
+  * 10^10-scale follow-up (not yet enabled) is INCREMENTAL heads
+  * maintenance: keep a per-host top-K state table (K = k' + burst·R),
+  * update it per round from the (delta-sized) additions and the per-host
+  * consumed lists, track pendingCount per host, and re-scan the frontier
+  * ONLY for "dirty" hosts — hosts whose heads drained below k' while
+  * pending rows remain outside the kept K (with Iceberg hostHash-bucketed
+  * state the dirty-host refill is a bucket-pruned read). Hosts with ≤ K
+  * pending — the overwhelming majority of the web — then never trigger a
+  * frontier scan at all. Exactness requires the dirty tracking: merging
+  * additions into a partially-drained heads array is only correct when no
+  * pending rows exist outside it.
+  *
   * State layout under `workDir` (the Iceberg-snapshot analog):
   * {{{
   *   state/round=N/{frontier,hosts,ips,scalars}          (snapshots)
@@ -935,6 +948,10 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
               .where(col("stored") + col("__r") <= cfg.maxUrlsPerHost)
               .drop("__r", "stored")
           })
+        // (measured: repartitioning the delta by hostHash here costs more
+        // shuffle bytes than the heads aggregation's partial buffers save
+        // — the delta rows outnumber hosts; the frontier is re-clustered
+        // by hostHash only at compaction/snapshot)
         newDelta = lc(newFrontier.select(st.frontier.columns.map(col): _*))
       },
       // seen append: ALL sieved urls (even budget-dropped ones are "seen"
