@@ -10,6 +10,7 @@ import graft.synth.SyntheticWeb
   *   graft.Main crawl  --workDir DIR [--sites N] [--degree N] [--maxDepth N]
   *                     [--seeds N] [--rounds N] [--burst N] [--budget N]
   *                     [--hostDelay N] [--ipDelay N] [--noBloom]
+  *                     [--incrementalHeads]
   *   graft.Main trace  --workDir DIR            # print the crawl trace
   *   graft.Main metrics --workDir DIR           # print per-round metrics
   * }}}
@@ -69,6 +70,7 @@ object Main {
         maxUrlsPerHost = opts.getOrElse("budget", Long.MaxValue.toString).toLong,
         maxRounds = opts.getOrElse("rounds", "8").toInt,
         useBloom = !opts.contains("noBloom"),
+        incrementalHeads = opts.contains("incrementalHeads"),
         statePartitions = opts.getOrElse("statePartitions",
           spark.sparkContext.defaultParallelism.toString).toInt)
 

@@ -115,6 +115,15 @@ case class CrawlConfig(
       * tombstones accumulate (WorkbenchVirtualizer.java:132-143 GC analog) */
     tombstoneCompactRows: Long = 2L << 20,
     logRounds: Boolean = false,
+    /** INCREMENTAL per-host heads maintenance (the 10^10-frontier mode):
+      * selection reads a per-host top-K state table updated from the
+      * round's deltas instead of re-aggregating the whole frontier every
+      * round; only "dirty" hosts (heads drained below the window while
+      * pending rows remain outside the kept K) trigger a frontier re-scan.
+      * Exact — oracle-parity-tested. Worthwhile when pending-per-host ≫ K
+      * (the real web); at small pending-per-host the heads state is the
+      * frontier re-materialized, so the default full aggregation wins. */
+    incrementalHeads: Boolean = false,
     /** storage level for in-memory state blocks between snapshots */
     stateStorage: String = "MEMORY_AND_DISK")
 
@@ -267,6 +276,74 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
     * skips at the queue head */
   private val kHeads = math.max(1, cfg.burst + cfg.headSlack)
 
+  /** incremental-heads kept size: one full selection window of slack
+    * (per-round consumption ≤ kHeads, so an oversized host survives a
+    * selected round before its refill) */
+  private val headsK = kHeads * 2
+
+  /** Full heads-state rebuild from a pending view (init / resume from a
+    * snapshot written without one). */
+  private def buildHeadsState(pending: DataFrame): DataFrame =
+    pending.groupBy("hostHash").agg(
+      topk_heads(col("seq"), col("url"), col("urlHash"), headsK).as("heads"),
+      count(lit(1)).as("pendingCnt"))
+
+  private val headsArrType = "array<struct<seq:bigint,url:string,urlHash:bigint>>"
+
+  /** One round of EXACT incremental heads maintenance.
+    *
+    * Invariant: `heads` holds the min(headsK, pendingCnt) smallest pending
+    * entries of the host, seq-ascending. Exactness leans on two facts:
+    * consumed entries always come from the selection window (the smallest
+    * kHeads), and seq assignment is MONOTONE — every addition is larger
+    * than every existing pending row, so for a COMPLETE host (no pending
+    * rows outside `heads`) additions simply append (capped at headsK),
+    * and for an incomplete host additions can never precede the outside
+    * rows, so the kept array is left untouched. The only hosts that need
+    * a frontier re-scan ("dirty") are those whose array drained below the
+    * selection window while pending rows remain outside — a subset of the
+    * hosts SELECTED this round, so per-round frontier work is ∝ the
+    * politeness-bounded selection, not the frontier (with hostHash-
+    * bucketed state the refill is additionally a bucket-pruned read).
+    *
+    * @param consumed (hostHash, __cons: array of consumed urlHashes)
+    * @param addAgg   (hostHash, __add: K-capped additions, __addN: count)
+    * @param pendingNext the post-round pending frontier view (refill source)
+    */
+  private def updateHeadsState(headsState: DataFrame, consumed: DataFrame,
+      addAgg: DataFrame, pendingNext: DataFrame): DataFrame = {
+    val emptyArr = array().cast(headsArrType)
+    val joined = headsState
+      .join(consumed, Seq("hostHash"), "left")
+      .join(addAgg, Seq("hostHash"), "full_outer")
+    val h0 = coalesce(col("heads"), emptyArr)
+    val afterCons = when(col("__cons").isNull, h0)
+      .otherwise(filter(h0, e => !array_contains(col("__cons"), e.getField("urlHash"))))
+    val m1 = joined.select(
+      col("hostHash"),
+      afterCons.as("__h1"),
+      (coalesce(col("pendingCnt"), lit(0L))
+        - (size(h0) - size(afterCons)).cast("long")).as("__p1"),
+      col("__add"), coalesce(col("__addN"), lit(0L)).as("__addN"))
+    val complete = col("__p1") === size(col("__h1")).cast("long")
+    val m2 = m1.select(
+      col("hostHash"),
+      when(complete && col("__addN") > 0,
+          slice(concat(col("__h1"), coalesce(col("__add"), emptyArr)), 1, headsK))
+        .otherwise(col("__h1")).as("heads"),
+      (col("__p1") + col("__addN")).as("pendingCnt"))
+    val dirtyHosts = m2
+      .where(col("pendingCnt") > size(col("heads")) && size(col("heads")) < kHeads)
+      .select("hostHash")
+    val refill = pendingNext
+      .join(broadcast(dirtyHosts), Seq("hostHash"), "left_semi")
+      .groupBy("hostHash")
+      .agg(topk_heads(col("seq"), col("url"), col("urlHash"), headsK).as("__r"))
+    lc(m2.join(refill, Seq("hostHash"), "left")
+      .select(col("hostHash"), coalesce(col("__r"), col("heads")).as("heads"),
+        col("pendingCnt")))
+  }
+
   private val gatesTrivial =
     cfg.parseFilter == "true" && cfg.followFilter == "true" && cfg.storeFilter == "true"
 
@@ -277,7 +354,11 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
       seen: DataFrame, digests: DataFrame,
       /** append-only frontier: fetched/dropped rows are tombstoned by hash
         * and physically removed only at compaction/snapshot */
-      tombstones: DataFrame, pendingRows: Long, tombRows: Long)
+      tombstones: DataFrame, pendingRows: Long, tombRows: Long,
+      /** incremental-heads state (hostHash, heads: sorted array of the
+        * up-to-K smallest pending entries, pendingCnt); null unless
+        * cfg.incrementalHeads */
+      headsState: DataFrame = null)
   private var live: Option[LiveState] = None
 
   // ---------------- initialization (round 0) ----------------
@@ -305,11 +386,13 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
     frontier.select("urlHash").write.mode(SaveMode.Overwrite).parquet(appendDir("seen", 0))
     val hosts = newHostsFrom(frontier, emptyHosts).transform(lc)
     val ips = newIpsFrom(frontier, emptyIps).transform(lc)
+    val headsInit = if (cfg.incrementalHeads) lc(buildHeadsState(frontier)) else null
     val maxSeq = frontier.count()
-    writeState(0, frontier, hosts, ips, maxSeq, cfg.initialFrontSize)
+    writeState(0, frontier, hosts, ips, maxSeq, cfg.initialFrontSize, headsInit)
     live = Some(LiveState(0, maxSeq, cfg.initialFrontSize, frontier, hosts, ips,
       frontier.select("urlHash").transform(lc), emptyDigests,
-      emptyTombstones, pendingRows = maxSeq, tombRows = 0L))
+      emptyTombstones, pendingRows = maxSeq, tombRows = 0L,
+      headsState = headsInit))
   }
 
   private def emptyHosts = spark.emptyDataset[HostState].toDF
@@ -346,7 +429,8 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
       .select("ipHash", "nextFetch")
 
   private def writeState(round: Int, frontier: DataFrame, hosts: DataFrame,
-      ips: DataFrame, maxSeq: Long, frontSize: Long): Unit = {
+      ips: DataFrame, maxSeq: Long, frontSize: Long,
+      headsState: DataFrame = null): Unit = {
     // Frontier and hosts are laid out by hostHash — the reference's
     // agent-assignment function (BubingJob.java:47-52); at cluster scale
     // this becomes Iceberg bucket partitioning so the per-round
@@ -357,7 +441,10 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
       () => hosts.repartition(math.max(1, cfg.statePartitions / 4), col("hostHash"))
         .write.mode(SaveMode.Overwrite).parquet(stateDir(round, "hosts")),
       () => ips.repartition(math.max(1, cfg.statePartitions / 4), col("ipHash"))
-        .write.mode(SaveMode.Overwrite).parquet(stateDir(round, "ips")))
+        .write.mode(SaveMode.Overwrite).parquet(stateDir(round, "ips")),
+      () => if (headsState != null)
+        headsState.repartition(math.max(1, cfg.statePartitions / 4), col("hostHash"))
+          .write.mode(SaveMode.Overwrite).parquet(stateDir(round, "heads")))
     // scalars LAST: its _SUCCESS is the snapshot-completeness marker
     Seq((maxSeq, round, frontSize)).toDF("maxSeq", "round", "frontSize")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(stateDir(round, "scalars"))
@@ -380,11 +467,19 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
     val maxSeq = sc.getAs[Long]("maxSeq")
     val frontSize = sc.getAs[Long]("frontSize")
     val frontier = spark.read.parquet(stateDir(round, "frontier"))
+    val headsState =
+      if (!cfg.incrementalHeads) null
+      else if (exists(stateDir(round, "heads") + "/_SUCCESS"))
+        spark.read.parquet(stateDir(round, "heads"))
+      // snapshot written without a heads table (mode toggled on): rebuild
+      // from the (compacted = pending) frontier snapshot
+      else lc(buildHeadsState(frontier))
     LiveState(round, maxSeq, frontSize, frontier,
       spark.read.parquet(stateDir(round, "hosts")),
       spark.read.parquet(stateDir(round, "ips")),
       readSeen(round), readDigests(round),
-      emptyTombstones, pendingRows = frontier.count(), tombRows = 0L)
+      emptyTombstones, pendingRows = frontier.count(), tombRows = 0L,
+      headsState = headsState)
   }
 
   // ---------------- bloom bank (broadcast-refreshed URL-seen filter) ----------------
@@ -481,8 +576,15 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
     // full-frontier ordering. Priority = head seq (FIFO per host,
     // VisitState.java:284-304); the inner join doubles as the
     // has-pending-work filter.
-    val heads = frontier.groupBy("hostHash")
-      .agg(topk_heads(col("seq"), col("url"), col("urlHash"), kHeads).as("heads"))
+    val heads =
+      if (cfg.incrementalHeads && st.headsState != null)
+        // the maintained state's first kHeads entries ARE the window
+        // (invariant: heads = min(headsK, pendingCnt) smallest pending) —
+        // no frontier scan at selection time
+        st.headsState.where(size(col("heads")) > 0)
+          .select(col("hostHash"), slice(col("heads"), 1, kHeads).as("heads"))
+      else frontier.groupBy("hostHash")
+        .agg(topk_heads(col("seq"), col("url"), col("urlHash"), kHeads).as("heads"))
 
     val nowC = ref_long(now, "now")
     val ipReady = ips.where(col("nextFetch") <= nowC).select("ipHash")
@@ -659,7 +761,7 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
       if (disRows == 0) {
         // politeness wait: carry state forward, snapshot on cadence
         val snapped = maybeSnapshot(round, frontier, hosts, ips, maxSeq, st.frontSize,
-          force = false)
+          force = false, headsState = st.headsState)
         live = Some(
           if (snapped)
             st.copy(round = round,
@@ -679,10 +781,24 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
           .drop("__wo")
         val tombstonesNext = st.tombstones.unionByName(disLc).transform(lc)
         val tombRowsNext = st.tombRows + disRows
+        val headsNext0 =
+          if (!cfg.incrementalHeads) null
+          else {
+            val consumed0 = gated
+              .select(col("hostHash"), explode(col("__dropped")).as("__d"))
+              .select(col("hostHash"), col("__d.urlHash").as("urlHash"))
+              .groupBy("hostHash").agg(collect_set(col("urlHash")).as("__cons"))
+            val addEmpty = st.frontier.limit(0).groupBy("hostHash").agg(
+              topk_heads(col("seq"), col("url"), col("urlHash"), headsK).as("__add"),
+              count(lit(1)).as("__addN"))
+            val pendingNext0 = st.frontier
+              .join(broadcast(tombstonesNext), Seq("urlHash"), "left_anti")
+            updateHeadsState(st.headsState, consumed0, addEmpty, pendingNext0)
+          }
         val compactedNext = st.frontier
           .join(tombstonesNext.hint("shuffle_merge"), Seq("urlHash"), "left_anti")
         val snapped = maybeSnapshot(round, compactedNext, hostsNext, ips, maxSeq,
-          st.frontSize, force = false)
+          st.frontSize, force = false, headsState = headsNext0)
         val (fNext, tombNext, tombRowsFinal) =
           if (snapped) (spark.read.parquet(stateDir(round, "frontier")), emptyTombstones, 0L)
           else if (tombRowsNext >= cfg.tombstoneCompactRows)
@@ -694,7 +810,7 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
           else hostsNext.transform(lc)
         live = Some(st.copy(round = round, frontier = fNext, hosts = hNext,
           tombstones = tombNext, pendingRows = st.pendingRows - disRows,
-          tombRows = tombRowsFinal))
+          tombRows = tombRowsFinal, headsState = headsNext0))
       }
       bloomRound = round
       fetched0.unpersist(); selected.unpersist()
@@ -1033,12 +1149,30 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
     var hNextMem: DataFrame = null
     var iNextMem: DataFrame = null
     var digestsLc: DataFrame = null
+    var headsNextV: DataFrame = null
     var selHosts = 0L
     inParallel(
       () => metricsOut.write.mode(SaveMode.Overwrite).parquet(appendDir("metrics", round)),
       () => if (!snapDue) hNextMem = hostsNext.transform(lc),
       () => if (!snapDue) iNextMem = ipsNext.transform(lc),
       () => if (cfg.storeDocs) digestsLc = newDigests.transform(lc),
+      () => if (cfg.incrementalHeads) {
+        // consumed = exactly the tombstoned page URLs, keyed by host
+        val consumed = fetched.where(!col("isRobots") && col("excClass").isNull)
+          .select(col("hostHash"), col("urlHash"))
+          .unionByName(gated
+            .select(col("hostHash"), explode(col("__dropped")).as("__d"))
+            .select(col("hostHash"), col("__d.urlHash").as("urlHash")))
+          .unionByName(hostsU.where(col("__drop"))
+            .select(col("hostHash"), col("__dropHash").as("urlHash")))
+          .groupBy("hostHash").agg(collect_set(col("urlHash")).as("__cons"))
+        val addAgg = newDelta.groupBy("hostHash").agg(
+          topk_heads(col("seq"), col("url"), col("urlHash"), headsK).as("__add"),
+          count(lit(1)).as("__addN"))
+        val pendingNext = frontierNext
+          .join(broadcast(tombstonesNext), Seq("urlHash"), "left_anti")
+        headsNextV = updateHeadsState(st.headsState, consumed, addAgg, pendingNext)
+      },
       () => if (frontActive) selHosts = fetched.select("hostHash").distinct().count())
 
     // adaptive front growth: a saturated round doubles the cap
@@ -1058,7 +1192,7 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
     val compactedNext = frontierNext
       .join(tombstonesNext.hint("shuffle_merge"), Seq("urlHash"), "left_anti")
     val snapped = maybeSnapshot(round, compactedNext, hostsNext, ipsNext,
-      maxSeq + sieveOut, frontSizeNext, force = false)
+      maxSeq + sieveOut, frontSizeNext, force = false, headsState = headsNextV)
     val (fNext, tombNext, tombRowsFinal) =
       if (snapped)
         (spark.read.parquet(stateDir(round, "frontier")), emptyTombstones, 0L)
@@ -1081,7 +1215,8 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
       if (cfg.storeDocs) st.digests.unionByName(digestsLc)
       else st.digests
     live = Some(LiveState(round, maxSeq + sieveOut, frontSizeNext, fNext, hNext, iNext,
-      seenNext, digestsNext, tombNext, pendingRowsNext, tombRowsFinal))
+      seenNext, digestsNext, tombNext, pendingRowsNext, tombRowsFinal,
+      headsState = headsNextV))
 
     fetched0.unpersist(); selected.unpersist()
     parsedLinks.unpersist(); hostsU.unpersist()
@@ -1091,9 +1226,10 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
 
   /** Snapshot the state tables when the cadence (or `force`) says so. */
   private def maybeSnapshot(round: Int, frontier: DataFrame, hosts: DataFrame,
-      ips: DataFrame, maxSeq: Long, frontSize: Long, force: Boolean): Boolean = {
+      ips: DataFrame, maxSeq: Long, frontSize: Long, force: Boolean,
+      headsState: DataFrame = null): Boolean = {
     val due = force || cfg.checkpointEvery <= 1 || round % cfg.checkpointEvery == 0
-    if (due) writeState(round, frontier, hosts, ips, maxSeq, frontSize)
+    if (due) writeState(round, frontier, hosts, ips, maxSeq, frontSize, headsState)
     due
   }
 
@@ -1103,7 +1239,8 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
       val compacted =
         if (st.tombRows == 0) st.frontier
         else st.frontier.join(st.tombstones.hint("shuffle_merge"), Seq("urlHash"), "left_anti")
-      writeState(st.round, compacted, st.hosts, st.ips, st.maxSeq, st.frontSize)
+      writeState(st.round, compacted, st.hosts, st.ips, st.maxSeq, st.frontSize,
+        st.headsState)
     }
   }
 
