@@ -166,17 +166,14 @@ case class FetchUnit(
   * or join-back remains on the round path.
   *
   * The remaining O(frontier)-per-round term is that heads scan. The
-  * 10^10-scale follow-up (not yet enabled) is INCREMENTAL heads
-  * maintenance: keep a per-host top-K state table (K = k' + burst·R),
-  * update it per round from the (delta-sized) additions and the per-host
-  * consumed lists, track pendingCount per host, and re-scan the frontier
-  * ONLY for "dirty" hosts — hosts whose heads drained below k' while
-  * pending rows remain outside the kept K (with Iceberg hostHash-bucketed
-  * state the dirty-host refill is a bucket-pruned read). Hosts with ≤ K
-  * pending — the overwhelming majority of the web — then never trigger a
-  * frontier scan at all. Exactness requires the dirty tracking: merging
-  * additions into a partially-drained heads array is only correct when no
-  * pending rows exist outside it.
+  * 10^10-frontier alternative is `cfg.incrementalHeads`: a per-host top-K
+  * state table updated per round from the deltas and per-host consumed
+  * lists (see [[updateHeadsState]]), where only "dirty" hosts — drained
+  * below the selection window with pending rows outside the kept K, a
+  * subset of the round's SELECTED hosts — trigger a frontier re-scan
+  * (bucket-pruned with Iceberg hostHash-bucketed state). Hosts with ≤ K
+  * pending — the overwhelming majority of the web — never trigger a
+  * frontier scan at all. Exact; oracle-parity-tested.
   *
   * State layout under `workDir` (the Iceberg-snapshot analog):
   * {{{
