@@ -123,11 +123,25 @@ object BenchProbe {
     // crawler state storage
     var storage = "DISK_ONLY"
     var stateParts = threads
+    var sites = 2000000
+    var degree = 20
+    var depth = 3
+    var burst = 8
+    var rounds = 4
+    var incHeads = false
     args.drop(2).foreach { kv =>
       val Array(k, v) = kv.split("=", 2)
-      if (k == "storage") storage = v
-      else if (k == "stateParts") stateParts = v.toInt
-      else builder.config(k, v)
+      k match {
+        case "storage" => storage = v
+        case "stateParts" => stateParts = v.toInt
+        case "sites" => sites = v.toInt
+        case "degree" => degree = v.toInt
+        case "depth" => depth = v.toInt
+        case "burst" => burst = v.toInt
+        case "rounds" => rounds = v.toInt
+        case "incHeads" => incHeads = v.toBoolean
+        case _ => builder.config(k, v)
+      }
     }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -135,15 +149,16 @@ object BenchProbe {
     spark.sparkContext.addSparkListener(listener)
 
     val cfg = CrawlConfig(
-      web = SyntheticWeb.Config(sites = 2000000, degree = 20, maxDepth = 3),
+      web = SyntheticWeb.Config(sites = sites, degree = degree, maxDepth = depth),
       nSeeds = seeds,
-      hostDelay = 1, ipDelay = 1, burst = 8,
-      maxRounds = 4,
+      hostDelay = 1, ipDelay = 1, burst = burst,
+      maxRounds = rounds,
       robotsEnabled = false,
       storeDocs = false,
       bloomExpected = 64L << 20,
       checkpointEvery = 99,
       statePartitions = stateParts,
+      incrementalHeads = incHeads,
       logRounds = true,
       stateStorage = storage)
     val work = s"$workBase-$threads-${System.currentTimeMillis()}"
