@@ -16,16 +16,24 @@ import org.apache.spark.util.sketch.BloomFilter
   *   - survivors exit in FIRST-ENQUEUE ORDER (:349-363 re-sorts surviving
   *     positions back to input order).
   *
-  * The reference's batched sort-merge against a sorted hash file is exactly
-  * what a sort-merge **left-anti join** on `urlHash` does; at 10^10-URL
-  * scale Catalyst/AQE picks SMJ for large-large, reproducing Mercator's
-  * sequential-merge I/O pattern natively (SURVEY.md §4 P1).
+  * Two implementations of the membership check:
+  *  - [[newUrls]] — the direct shape: anti-join against the seen store
+  *    (optionally bloom-bank-prefiltered), the Spark reading of the
+  *    reference's batched sort-merge against its sorted hash file;
+  *  - [[newUrlsScanProbe]] — THE round/scale path: the seen store is only
+  *    ever SCANNED, never shuffled/sorted/broadcast — a bloom built over
+  *    the batch reverses the probe, and the (small) `present` set carries
+  *    the exact anti-join. Mercator's sequential store merge
+  *    (`MercatorSieve.java:311-344`) reads its whole store once per
+  *    flush; the scan-probe reproduces exactly that I/O pattern, where a
+  *    plain SMJ anti-join would re-SHUFFLE the full accumulated store
+  *    every round.
   *
-  * The optional broadcast Bloom filter is the north_rule's "broadcast-
-  * refreshed bloom/cuckoo URL-seen set": it culls the (vast) never-seen
-  * majority *before* the anti-join; the anti-join of the maybe-seen
-  * remainder keeps membership exact. The filter is refreshed (rebuilt)
-  * once per round from the appended seen table.
+  * The bloom bank (consolidated base + per-round deltas, each broadcast
+  * once at build) is the north_rule's "broadcast-refreshed bloom/cuckoo
+  * URL-seen set": it culls the definitely-new majority before any join,
+  * and gates the oversized-present fallback; membership stays EXACT via
+  * the anti-join of the remainder.
   */
 object Sieve {
 
