@@ -197,6 +197,7 @@ object Bench {
             try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
             name -> (System.nanoTime() - t0) / 1e9
         }
+        SparkEntry.cleanupTempDirs() // ANN-index / mini-crawl memo dirs
         spark.stop()
         r
       }
@@ -211,22 +212,24 @@ object Bench {
     // the hypervisor's CPU delivery fluctuates run-to-run and degrades
     // under sustained load (±30% observed, worst on the last runs of a
     // sequence). SYMMETRIC protocol: best-of-2 at EACH level, interleaved
-    // hi-lo-lo-hi so each level gets one early and one late slot — no
+    // lo-hi-hi-lo so each level gets one early and one late slot — no
     // level is favored by the selection rule (disclosed in BENCH.md).
     // Crawl equality is asserted across all four runs.
     val pairStart = System.nanoTime()
-    val hi1 = crawlBench(nHi, scale)
     val lo1 = crawlBench(nLo, scale)
+    val hi1 = crawlBench(nHi, scale)
     // time-budget guard: on a heavily throttled box the second pair could
-    // push the whole bench past an external timeout — degrade to the
-    // (equally symmetric) single-run-per-level protocol instead of dying
+    // push the whole bench past an external timeout — degrade to one run
+    // per level. That degraded protocol is ASYMMETRIC (one slot each), but
+    // with lo first the LATE (degraded) slot lands on the HI level, which
+    // deflates — never inflates — the reported scaling efficiency.
     val pairSec = (System.nanoTime() - pairStart) / 1e9
     val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIR_BUDGET_SEC", "500").toDouble
     val (hiRuns, loRuns) =
       if (pairSec > budget) (Seq(hi1), Seq(lo1))
       else {
-        val lo2 = crawlBench(nLo, scale)
         val hi2 = crawlBench(nHi, scale)
+        val lo2 = crawlBench(nLo, scale)
         (Seq(hi1, hi2), Seq(lo1, lo2))
       }
     val (rateHi, processedHi, wallHi, chkHi, rowsHi) = hiRuns.minBy(_._3)
@@ -240,7 +243,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val totalQuerySec = results.map(_._2).sum
     val json =
-      f"""{"metric":"frontier_urls_scheduled_deduped_per_sec","value":$rateHi%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","total_query_sec":$totalQuerySec%.2f,"frontier":{"levels":[$nLo,$nHi],"local${nLo}_urls_per_sec":$rateLo%.1f,"local${nHi}_urls_per_sec":$rateHi%.1f,"scaling_efficiency":$efficiency%.3f,"cpu_calibration_efficiency":$calibEff%.3f,"mem_calibration_efficiency":$memEff%.3f,"urls_processed":$processedHi,"urls_processed_lo":$processedLo,"wall_lo_sec":$wallLo%.1f,"wall_hi_sec":$wallHi%.1f,${wallsJson("wall_lo_runs", loRuns)},${wallsJson("wall_hi_runs", hiRuns)},"selection":"best-of-${hiRuns.size} per level, symmetric, order hi-lo[-lo-hi]","identical_crawl":$identical}}"""
+      f"""{"metric":"frontier_urls_scheduled_deduped_per_sec","value":$rateHi%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","total_query_sec":$totalQuerySec%.2f,"frontier":{"levels":[$nLo,$nHi],"local${nLo}_urls_per_sec":$rateLo%.1f,"local${nHi}_urls_per_sec":$rateHi%.1f,"scaling_efficiency":$efficiency%.3f,"cpu_calibration_efficiency":$calibEff%.3f,"mem_calibration_efficiency":$memEff%.3f,"urls_processed":$processedHi,"urls_processed_lo":$processedLo,"wall_lo_sec":$wallLo%.1f,"wall_hi_sec":$wallHi%.1f,${wallsJson("wall_lo_runs", loRuns)},${wallsJson("wall_hi_runs", hiRuns)},"selection":"${if (hiRuns.size > 1) "best-of-2 per level, symmetric, order lo-hi-hi-lo" else "1 run per level, order lo-hi (asymmetric degraded protocol; late slot on hi deflates efficiency)"}","identical_crawl":$identical}}"""
     println(json)
 
     val md =
@@ -255,11 +258,12 @@ object Bench {
          |sequence — the sandbox stand-in for N vs 4N executor clusters.
          |
          |Selection rule: ${hiRuns.size} run(s) per level, interleaved
-         |hi-lo[-lo-hi] (each level gets one early and one late slot
-         |against hypervisor degradation; the second pair is skipped when
-         |the first exceeds the time budget), best wall per level —
-         |SYMMETRIC across levels.
-         |All four walls: hi=[${hiRuns.map(r => f"${r._3}%.1f").mkString(", ")}]s,
+         |lo-hi[-hi-lo] (each level gets one early and one late slot
+         |against hypervisor degradation), best wall per level — SYMMETRIC
+         |across levels. If the time budget forces one run per level, that
+         |degraded protocol is asymmetric: the late (degraded) slot lands
+         |on the hi level, which can only DEFLATE the reported efficiency.
+         |All walls: hi=[${hiRuns.map(r => f"${r._3}%.1f").mkString(", ")}]s,
          |lo=[${loRuns.map(r => f"${r._3}%.1f").mkString(", ")}]s.
          |
          || parallelism | URLs scheduled+deduped | wall (s) | throughput (urls/sec) |

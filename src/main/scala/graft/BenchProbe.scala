@@ -129,6 +129,8 @@ object BenchProbe {
     var burst = 8
     var rounds = 4
     var incHeads = false
+    var store = false
+    var robots = false
     args.drop(2).foreach { kv =>
       val Array(k, v) = kv.split("=", 2)
       k match {
@@ -140,6 +142,8 @@ object BenchProbe {
         case "burst" => burst = v.toInt
         case "rounds" => rounds = v.toInt
         case "incHeads" => incHeads = v.toBoolean
+        case "store" => store = v.toBoolean // docs/digests store ON
+        case "robots" => robots = v.toBoolean
         case _ => builder.config(k, v)
       }
     }
@@ -153,8 +157,8 @@ object BenchProbe {
       nSeeds = seeds,
       hostDelay = 1, ipDelay = 1, burst = burst,
       maxRounds = rounds,
-      robotsEnabled = false,
-      storeDocs = false,
+      robotsEnabled = robots,
+      storeDocs = store,
       bloomExpected = 64L << 20,
       checkpointEvery = 99,
       statePartitions = stateParts,
@@ -174,6 +178,17 @@ object BenchProbe {
     println(s"[probe] codegen: compiles=${cg.METRIC_COMPILATION_TIME.getCount} " +
       s"totalCompileMs=${cg.METRIC_COMPILATION_TIME.getSnapshot.getValues.sum}")
     println(s"[probe] threads=$threads processed=$processed rate=${(processed / wall).toLong}/s")
+    // per-round (urls, wall) pairs: the fixed-cost-vs-round-size evidence —
+    // fit wall_round = a + b*urls_round across burst settings to expose
+    // the per-round fixed job cost a at this thread count
+    val dedupInByRound = crawler.metrics().where(
+        org.apache.spark.sql.functions.col("partition_id") === -1)
+      .select("round", "dedup_in").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    crawler.roundWalls.foreach { case (r, fetched, w) =>
+      val urls = fetched + dedupInByRound.getOrElse(r, 0L)
+      println(f"[probe] round=$r urls=$urls wall=$w%.2fs burst=$burst")
+    }
     println(listener.report(wall))
     println("[probe] top stages by wall:")
     println(listener.topStages(14))

@@ -20,6 +20,29 @@ object SparkEntry {
 
   private def t(dir: String, name: String) = s"$dir/$name.parquet"
 
+  /** Every temp dir the memoized index/crawl builders create, so harness
+    * mains (Verify/Bench) can clean up after themselves. */
+  private val tempDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private def newTempDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix).toString
+    tempDirs.add(p)
+    p
+  }
+
+  /** Delete the memoized ANN-index / mini-crawl temp dirs and reset the
+    * memos (idempotent; call after the last query of a harness run). */
+  def cleanupTempDirs(): Unit = {
+    var p = tempDirs.poll()
+    while (p != null) {
+      try {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(p)).deleteRecursively()
+      } catch { case _: Exception => () }
+      p = tempDirs.poll()
+    }
+    annIndexMemo.clear(); ivfMemo.clear(); crawlMemo.clear()
+  }
+
   /** Deterministic synthetic URL stream derived from `events` — the same
     * construction is written in SQL inside the oracles, so the crawl
     * operators (sieve/politeness/budget/filters) are DuckDB-checkable. */
@@ -216,13 +239,16 @@ object SparkEntry {
   private def qFingerprint(s: SparkSession, dir: String): DataFrame =
     TextStats.fingerprints(s.read.parquet(t(dir, "documents")), "doc_id", "text")
 
+  // full-width (no .limit cap): the banded self-joins are skew-capped
+  // (capBuckets) and bound-tested, so the driver exercises them at the
+  // whole documents table's width
   private def qSimhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashCandidatePairs(
-      s.read.parquet(t(dir, "documents")).limit(4000), "doc_id", "text", maxHamming = 16)
+      s.read.parquet(t(dir, "documents")), "doc_id", "text", maxHamming = 16)
 
   private def qMinhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashCandidatePairs(
-      s.read.parquet(t(dir, "documents")).limit(4000), "doc_id", "text",
+      s.read.parquet(t(dir, "documents")), "doc_id", "text",
       shingleK = 5, numHashes = 32, bands = 8, minEstJaccard = 0.3)
 
   /** Exact n-gram Jaccard verification stage over a deterministic
@@ -256,7 +282,7 @@ object SparkEntry {
   private val annIndexMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def qAnnLshBucketed(s: SparkSession, dir: String): DataFrame = {
     val path = annIndexMemo.computeIfAbsent(s.sparkContext.applicationId + dir, _ => {
-      val p = java.nio.file.Files.createTempDirectory("graft-ann-index").toString
+      val p = newTempDir("graft-ann-index")
       Similarity.writeBucketed(
         s.read.parquet(t(dir, "embeddings")).where(col("vec_id") =!= 0),
         "vec_id", "embedding", p, planes = 8)
@@ -274,7 +300,7 @@ object SparkEntry {
   private val ivfMemo = new java.util.concurrent.ConcurrentHashMap[String, (String, Array[Array[Double]])]()
   private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val (path, centroids) = ivfMemo.computeIfAbsent(s.sparkContext.applicationId + dir, _ => {
-      val p = java.nio.file.Files.createTempDirectory("graft-ann-ivf").toString
+      val p = newTempDir("graft-ann-ivf")
       val c = Similarity.writeIvf(
         s.read.parquet(t(dir, "embeddings")).where(col("vec_id") =!= 0),
         "vec_id", "embedding", p, cells = 32, seed = 42L)
@@ -284,6 +310,68 @@ object SparkEntry {
       .select(col("embedding").cast("array<double>"))
       .head().getSeq[Double](0).toArray
     Similarity.ivfTopK(s, path, centroids, q, 10, nprobe = 8)
+  }
+
+  /** rank column matching bruteForceTopK's output shape (k rows only). */
+  private def withRank(df: DataFrame): DataFrame =
+    df.withColumn("rank",
+        row_number().over(Window.orderBy(col("cosine").desc, col("id"))).cast("long"))
+      .select("rank", "id", "cosine")
+
+  /** IVF probe with nprobe == cells: degrades to the exact full scan over
+    * the SAME partitioned layout/plan shape, so the layout's results (not
+    * just its plan) are driver-checked against the brute-force oracle. */
+  private def qAnnIvfFull(s: SparkSession, dir: String): DataFrame = {
+    val (path, centroids) = ivfMemo.computeIfAbsent(s.sparkContext.applicationId + dir, _ => {
+      val p = newTempDir("graft-ann-ivf")
+      val c = Similarity.writeIvf(
+        s.read.parquet(t(dir, "embeddings")).where(col("vec_id") =!= 0),
+        "vec_id", "embedding", p, cells = 32, seed = 42L)
+      (p, c)
+    })
+    val q = s.read.parquet(t(dir, "embeddings")).where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    withRank(Similarity.ivfTopK(s, path, centroids, q, 10, nprobe = centroids.length))
+  }
+
+  /** LSH-bucketed probe with the full hamming ball: every bucket probed =
+    * the exact full scan over the bucket-partitioned layout — same oracle
+    * as q_ann_brute. */
+  private def qAnnLshBucketedFull(s: SparkSession, dir: String): DataFrame = {
+    val path = annIndexMemo.computeIfAbsent(s.sparkContext.applicationId + dir, _ => {
+      val p = newTempDir("graft-ann-index")
+      Similarity.writeBucketed(
+        s.read.parquet(t(dir, "embeddings")).where(col("vec_id") =!= 0),
+        "vec_id", "embedding", p, planes = 8)
+      p
+    })
+    val q = s.read.parquet(t(dir, "embeddings")).where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    withRank(Similarity.lshTopKBucketed(s, path, q, 10, planes = 8, hammingBall = 8))
+  }
+
+  /** META http-equiv charset scan (the reference's guessedCharset,
+    * HTMLParser.java:467,691-736) over deterministic markup: the declared
+    * charset is a pure function of doc_id, so the oracle is plain SQL
+    * while the Spark side runs the real scanner. Covers the http-equiv
+    * form, the modern `<meta charset=...>` form (NOT honored — faithful
+    * to the reference), and the ISO-8859-1 default. */
+  private def qCharset(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(t(dir, "documents"))
+      .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val meta = (id % 4) match {
+          case 0 => "<meta http-equiv=\"content-type\" content=\"text/html; charset=UTF-8\">"
+          case 1 => "<meta charset=\"utf-8\">" // modern form: reference ignores it
+          case 2 => "<META HTTP-EQUIV='Content-Type' CONTENT='text/html; charset=windows-1252'>"
+          case _ => ""
+        }
+        val html = s"<html><head>$meta<title></title></head><body><p>$text</p></body></html>"
+        (id, graft.parse.HtmlParser.guessedCharset(html))
+      }.toDF("doc_id", "guessed_charset")
   }
 
   private def qEmbeddingNearDup(s: SparkSession, dir: String): DataFrame =
@@ -312,7 +400,7 @@ object SparkEntry {
   private val crawlMemo = new java.util.concurrent.ConcurrentHashMap[String, frontier.Crawler]()
   private def miniCrawl(s: SparkSession): frontier.Crawler =
     crawlMemo.computeIfAbsent(s.sparkContext.applicationId, _ => {
-      val work = java.nio.file.Files.createTempDirectory("graft-q-crawl").toString
+      val work = newTempDir("graft-q-crawl")
       val cfg = frontier.CrawlConfig(
         web = synth.SyntheticWeb.Config(sites = 60, degree = 4, maxDepth = 2),
         nSeeds = 6, maxRounds = 4, burst = 2, statePartitions = 4)
@@ -393,7 +481,10 @@ object SparkEntry {
     "q_ann_brute" -> (qAnnBrute(_, _)),
     "q_ann_lsh" -> (qAnnLsh(_, _)),
     "q_ann_lsh_bucketed" -> (qAnnLshBucketed(_, _)),
+    "q_ann_lsh_bucketed_full" -> (qAnnLshBucketedFull(_, _)),
     "q_ann_ivf" -> (qAnnIvf(_, _)),
+    "q_ann_ivf_full" -> (qAnnIvfFull(_, _)),
+    "q_charset" -> (qCharset(_, _)),
     "q_embedding_neardup" -> (qEmbeddingNearDup(_, _)),
     "q_media_features" -> (qMediaFeatures(_, _)),
     "q_parse_spans" -> (qParseSpans(_, _)),
@@ -569,13 +660,25 @@ object SparkEntry {
         |      WHERE a.doc_id % 3 = 0) p
         |JOIN g g1 ON g1.doc_id = p.id1
         |JOIN g g2 ON g2.doc_id = p.id2""".stripMargin,
-    "q_ann_brute" ->
-      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0)
-        |SELECT CAST(row_number() OVER (ORDER BY cosine DESC, id) AS BIGINT) AS "rank", id, cosine
-        |FROM (
-        |  SELECT vec_id AS id,
-        |         list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT v FROM q)) AS cosine
-        |  FROM embeddings WHERE vec_id <> 0
-        |  ORDER BY cosine DESC, id LIMIT 10)""".stripMargin
+    "q_ann_brute" -> annBruteOracleSql,
+    // exact-probe variants over the PARTITIONED ANN layouts (nprobe=cells /
+    // full hamming ball degrade to the exact scan): same oracle as brute
+    "q_ann_ivf_full" -> annBruteOracleSql,
+    "q_ann_lsh_bucketed_full" -> annBruteOracleSql,
+    "q_charset" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'UTF-8'
+        |       WHEN doc_id % 4 = 2 THEN 'windows-1252'
+        |       ELSE 'ISO-8859-1' END AS guessed_charset
+        |FROM documents""".stripMargin
   )
+
+  private val annBruteOracleSql =
+    """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0)
+      |SELECT CAST(row_number() OVER (ORDER BY cosine DESC, id) AS BIGINT) AS "rank", id, cosine
+      |FROM (
+      |  SELECT vec_id AS id,
+      |         list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT v FROM q)) AS cosine
+      |  FROM embeddings WHERE vec_id <> 0
+      |  ORDER BY cosine DESC, id LIMIT 10)""".stripMargin
 }

@@ -121,8 +121,15 @@ object Similarity {
     * buckets can skew badly on clustered data. Same layout contract as
     * [[writeBucketed]]: the corpus is written partitioned by cell id, so a
     * probe reads only its cells' directories (~nprobe/cells of the table).
-    * Deterministic for a fixed seed and input. Returns the centroids
-    * (driver-side, cells x dim — a few KB) for probe planning. */
+    * Deterministic for a fixed seed and input — INCLUDING across
+    * parallelism levels: the fit input is pinned to one id-sorted
+    * partition, because k-means|| init sampling is partitioning-sensitive
+    * and re-reads of the same parquet at different core counts would
+    * otherwise shift the centroids (and near-tie top-k results) between
+    * environments. The trained index is a BUILD step (run once, typically
+    * on a corpus sample at 100 TB), so the single-partition fit is not on
+    * any per-query path. Returns the centroids (driver-side, cells x dim —
+    * a few KB) for probe planning. */
   def writeIvf(emb: DataFrame, idCol: String, vecCol: String, path: String,
       cells: Int = 64, seed: Long = 42L, maxIter: Int = 10): Array[Array[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
@@ -130,7 +137,7 @@ object Similarity {
     val v = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     val withFeat = v.withColumn("features", array_to_vector(col("v")))
     val model = new KMeans().setK(cells).setSeed(seed).setMaxIter(maxIter)
-      .fit(withFeat)
+      .fit(withFeat.orderBy("id").coalesce(1))
     model.transform(withFeat)
       .select(col("id"), col("v"), col("prediction").as("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(path)

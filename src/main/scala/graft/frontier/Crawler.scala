@@ -350,8 +350,12 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
       frontier: DataFrame, hosts: DataFrame, ips: DataFrame,
       seen: DataFrame, digests: DataFrame,
       /** append-only frontier: fetched/dropped rows are tombstoned by hash
-        * and physically removed only at compaction/snapshot */
+        * and physically removed only at compaction/snapshot. `tombstones`
+        * is a lazy union of per-round lc'd deltas (`tombParts` of them —
+        * folded when the chain gets long); only deltas are ever
+        * re-materialized, never the accumulated set. */
       tombstones: DataFrame, pendingRows: Long, tombRows: Long,
+      tombParts: Int = 0,
       /** incremental-heads state (hostHash, heads: sorted array of the
         * up-to-K smallest pending entries, pendingCnt); null unless
         * cfg.incrementalHeads */
@@ -442,8 +446,13 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
       () => if (headsState != null)
         headsState.repartition(math.max(1, cfg.statePartitions / 4), col("hostHash"))
           .write.mode(SaveMode.Overwrite).parquet(stateDir(round, "heads")))
-    // scalars LAST: its _SUCCESS is the snapshot-completeness marker
-    Seq((maxSeq, round, frontSize)).toDF("maxSeq", "round", "frontSize")
+    // scalars LAST: its _SUCCESS is the snapshot-completeness marker.
+    // headsK is persisted so a resume can detect a window-size change
+    // (burst/headSlack grown between runs) and rebuild the heads state —
+    // the persisted arrays are sized for the OLD window and would silently
+    // truncate the first selection otherwise.
+    Seq((maxSeq, round, frontSize, headsK))
+      .toDF("maxSeq", "round", "frontSize", "headsK")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(stateDir(round, "scalars"))
   }
 
@@ -464,12 +473,17 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
     val maxSeq = sc.getAs[Long]("maxSeq")
     val frontSize = sc.getAs[Long]("frontSize")
     val frontier = spark.read.parquet(stateDir(round, "frontier"))
+    // heads arrays are sized for the headsK in force when the snapshot was
+    // written; a config change (burst/headSlack) invalidates them
+    val snapHeadsK =
+      if (sc.schema.fieldNames.contains("headsK")) sc.getAs[Int]("headsK") else -1
     val headsState =
       if (!cfg.incrementalHeads) null
-      else if (exists(stateDir(round, "heads") + "/_SUCCESS"))
+      else if (snapHeadsK == headsK && exists(stateDir(round, "heads") + "/_SUCCESS"))
         spark.read.parquet(stateDir(round, "heads"))
-      // snapshot written without a heads table (mode toggled on): rebuild
-      // from the (compacted = pending) frontier snapshot
+      // snapshot written without a heads table (mode toggled on) or with a
+      // different window size: rebuild from the (compacted = pending)
+      // frontier snapshot
       else lc(buildHeadsState(frontier))
     LiveState(round, maxSeq, frontSize, frontier,
       spark.read.parquet(stateDir(round, "hosts")),
@@ -489,15 +503,24 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
     * ONCE when built and the broadcast handles are reused across rounds —
     * re-broadcasting the whole bank (tens of MB) every round was a
     * measurable per-round driver serialization + executor re-fetch cost.
-    * Dropped handles are reclaimed by Spark's ContextCleaner. */
+    * Dropped handles are unpersisted eagerly (executor copies of the
+    * tens-of-MB consolidated filter would otherwise linger until
+    * driver-side GC let the ContextCleaner reclaim them). */
   private var bloomBank: Vector[org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]] = Vector.empty
   private var bloomRound: Int = -1
+
+  /** Drop the current bank, releasing executor copies now (non-blocking). */
+  private def clearBloomBank(): Unit = {
+    bloomBank.foreach(_.unpersist(blocking = false))
+    bloomBank = Vector.empty
+  }
 
   private def bloomFilters(state: LiveState)
       : Seq[org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]] = {
     if (!cfg.useBloom || state.maxSeq < cfg.bloomMinSeen) return Nil
     if (bloomRound != state.round || bloomBank.isEmpty) {
       // cold start / resume: one consolidated filter from the seen table
+      clearBloomBank()
       bloomBank = Vector(spark.sparkContext.broadcast(
         state.seen.stat.bloomFilter("urlHash",
           math.max(cfg.bloomExpected, 1L), cfg.bloomFpp)))
@@ -515,7 +538,7 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
       if (deltaRows > 0)
         bloomBank :+= spark.sparkContext.broadcast(
           delta.stat.bloomFilter("urlHash", math.max(deltaRows, 1024L), cfg.bloomFpp))
-      if (bloomBank.size > cfg.bloomMaxDeltas) bloomBank = Vector.empty // rebuild next round
+      if (bloomBank.size > cfg.bloomMaxDeltas) clearBloomBank() // rebuild next round
     }
     bloomRound = round
   }
@@ -726,7 +749,8 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
             u.seq, status, isRobots = false, excClass = null, truncated = truncated,
             contentType = "text/html", digest = pr.digest, binaryDigest = bin,
             robotsPrefixes = null, spans = pr.spans, links = pr.links, round = rnd,
-            nBytes = nb, nMedia = nm, nLinks = pr.links.size)
+            nBytes = nb, nMedia = nm, nLinks = pr.links.size,
+            guessedCharset = pr.guessedCharset)
         } else {
           FetchResult(u.url, u.urlHash, u.schemeAuthority, u.host, u.hostHash, u.ipHash,
             u.seq, status, isRobots = false, excClass = null, truncated = false,
@@ -749,9 +773,19 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
           .drop("__failSeq")
       }
 
-    // ONE job: materialize the fetch cache + the round scalars
-    val fetchStats = fetched.agg(count(lit(1)), min("seq"), max("seq")).collect()(0)
-    val fetchedCount = fetchStats.getLong(0)
+    // ONE job: the trace sink (the crawl-ordering artifact; round =
+    // partition dir) materializes the fetch cache AND carries the round
+    // scalars via an Observation riding the write — the separate
+    // statistics pass over the cached batch is fused away. Zero-fetch
+    // rounds write an empty trace partition (harmless to readers).
+    val traceObs = org.apache.spark.sql.Observation()
+    fetched
+      .select(col("seq"), col("url"), col("isRobots"), col("status"), col("excClass"))
+      .observe(traceObs, count(lit(1)).as("cnt"),
+        min("seq").as("lo"), max("seq").as("hi"))
+      .write.mode(SaveMode.Overwrite).parquet(appendDir("trace", round))
+    val obsRow = traceObs.get
+    val fetchedCount = obsRow("cnt").asInstanceOf[Long]
     if (fetchedCount == 0) {
       val disLc = if (windowGatesActive) disallowed.transform(lc) else null
       val disRows = if (disLc == null) 0L else disLc.count()
@@ -763,7 +797,7 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
           if (snapped)
             st.copy(round = round,
               frontier = spark.read.parquet(stateDir(round, "frontier")),
-              tombstones = emptyTombstones, tombRows = 0L)
+              tombstones = emptyTombstones, tombRows = 0L, tombParts = 0)
           else st.copy(round = round))
       } else {
         // zero fetches but the head gate DID drop URLs: commit the window
@@ -776,8 +810,11 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
           .withColumn("nextFetch",
             when(coalesce(col("__wo"), lit(false)), hostDelayRef0).otherwise(col("nextFetch")))
           .drop("__wo")
-        val tombstonesNext = st.tombstones.unionByName(disLc).transform(lc)
+        // lazy union with the (already lc'd) disallowed delta — the
+        // accumulated tombstone set is never re-materialized
+        val tombstonesNext = st.tombstones.unionByName(disLc)
         val tombRowsNext = st.tombRows + disRows
+        val tombPartsNext0 = st.tombParts + 1
         val headsNext0 =
           if (!cfg.incrementalHeads) null
           else {
@@ -796,18 +833,19 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
           .join(tombstonesNext.hint("shuffle_merge"), Seq("urlHash"), "left_anti")
         val snapped = maybeSnapshot(round, compactedNext, hostsNext, ips, maxSeq,
           st.frontSize, force = false, headsState = headsNext0)
-        val (fNext, tombNext, tombRowsFinal) =
-          if (snapped) (spark.read.parquet(stateDir(round, "frontier")), emptyTombstones, 0L)
+        val (fNext, tombNext, tombRowsFinal, tombPartsFinal) =
+          if (snapped) (spark.read.parquet(stateDir(round, "frontier")), emptyTombstones, 0L, 0)
           else if (tombRowsNext >= cfg.tombstoneCompactRows)
             (compactedNext.repartition(cfg.statePartitions * 4, col("hostHash")).transform(lc),
-              emptyTombstones, 0L)
-          else (st.frontier, tombstonesNext, tombRowsNext)
+              emptyTombstones, 0L, 0)
+          else (st.frontier, tombstonesNext, tombRowsNext, tombPartsNext0)
         val hNext =
           if (snapped) spark.read.parquet(stateDir(round, "hosts"))
           else hostsNext.transform(lc)
         live = Some(st.copy(round = round, frontier = fNext, hosts = hNext,
           tombstones = tombNext, pendingRows = st.pendingRows - disRows,
-          tombRows = tombRowsFinal, headsState = headsNext0))
+          tombRows = tombRowsFinal, tombParts = tombPartsFinal,
+          headsState = headsNext0))
       }
       bloomRound = round
       fetched0.unpersist(); selected.unpersist()
@@ -969,9 +1007,11 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
 
     val blooms = bloomFilters(st)
     // parentSeq bounds of this round's links drive the deterministic rank
-    // buckets (from the fetch-materialization job's scalars)
-    val (loSeq, hiSeq) =
-      if (fetchStats.isNullAt(1)) (0L, 0L) else (fetchStats.getLong(1), fetchStats.getLong(2))
+    // buckets (from the trace-write Observation's scalars)
+    val (loSeq, hiSeq) = obsRow("lo") match {
+      case null => (0L, 0L)
+      case l: java.lang.Long => (l.longValue(), obsRow("hi").asInstanceOf[Long])
+    }
 
     // --- overlapped phase 1: sinks + link batch + SIEVE CHAIN + host/tomb
     // state folds. These are independent DAG branches; the sieve chain is
@@ -983,12 +1023,10 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
     var sievedInput: DataFrame = null
     var tombstonesNext: DataFrame = null
     var tombRowsNext = 0L
+    var tombPartsNext = 0
     inParallel(
-      // trace: the crawl ordering artifact (round = partition dir;
-      // status-0 rows are fetch exceptions with their class)
-      () => fetched
-        .select(col("seq"), col("url"), col("isRobots"), col("status"), col("excClass"))
-        .write.mode(SaveMode.Overwrite).parquet(appendDir("trace", round)),
+      // (the trace sink already ran — it doubles as the fetch-cache
+      // materialization job, with the round scalars observed on it)
       // robots store sink (the robots WARC stream,
       // ParsingThread.java:325-327): every robots.txt response
       () => if (cfg.storeDocs) fetched
@@ -1000,11 +1038,14 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
         docs.where(col("__store"))
           .select(col("url").as("doc_id"), col("schemeAuthority"), col("spans"),
             col("digest"), col("status"), col("is_duplicate"), col("truncated"),
+            col("guessedCharset").as("guessed_charset"),
             size(coalesce(col("links"), array())).as("n_links"),
             // external outdegree: links whose host differs from the page's
-            // (ParsingThread.java:386-389)
+            // (ParsingThread.java:386-389 — counted over successfully
+            // parsed URIs only, so unparseable-host links (null) are
+            // excluded; `=!=` is null-false, which does exactly that)
             size(filter(coalesce(col("links"), array()),
-              l => !burl_host(l).eqNullSafe(burl_host(col("url")))))
+              l => burl_host(l) =!= burl_host(col("url"))))
               .as("n_links_ext")) // round = partition dir
           .write.mode(SaveMode.Overwrite).parquet(appendDir("docs", round))
         newDigests.write.mode(SaveMode.Overwrite).parquet(appendDir("digests", round))
@@ -1019,17 +1060,31 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
           if (blooms.nonEmpty)
             Sieve.newUrlsScanProbe(parsedLinks, seen, Seq("parentSeq", "linkIdx"),
               blooms, lc, broadcastLimit = cfg.probeThreshold,
-              candidateCount = dedupIn)
+              candidateCount = dedupIn, seenCount = maxSeq)
           else Sieve
             .newUrls(parsedLinks, seen, Seq("parentSeq", "linkIdx"), Nil,
               broadcastProbe = dedupIn <= cfg.probeThreshold)
             .transform(lc)
       },
       // host-state update (materializes the hostsU cache + hostAgg
-      // broadcast) and the tombstone fold — both independent of the sieve
+      // broadcast) and the tombstone DELTA fold — both independent of the
+      // sieve. Only the per-round delta (∝ burst) is materialized; the
+      // accumulated set stays a lazy union of already-lc'd blocks —
+      // re-materializing the whole union here was an O(accumulated
+      // tombstones) copy per round, a cost that grows with the crawl.
       () => {
-        tombstonesNext = st.tombstones.unionByName(tombstoneDelta).transform(lc)
-        tombRowsNext = tombstonesNext.count() // cheap: counts the lc'd blocks
+        val deltaLc = lc(tombstoneDelta)
+        val deltaRows = deltaLc.count() // cheap: counts the lc'd blocks
+        if (st.tombParts >= 32) {
+          // plan-size hygiene: fold a long union chain (politeness-heavy
+          // crawls accumulate many small deltas between compactions)
+          tombstonesNext = lc(st.tombstones.unionByName(deltaLc))
+          tombPartsNext = 1
+        } else {
+          tombstonesNext = st.tombstones.unionByName(deltaLc)
+          tombPartsNext = st.tombParts + 1
+        }
+        tombRowsNext = st.tombRows + deltaRows
       })
 
     // --- overlapped phase 2: rank assignment + frontier delta (the
@@ -1190,9 +1245,9 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
       .join(tombstonesNext.hint("shuffle_merge"), Seq("urlHash"), "left_anti")
     val snapped = maybeSnapshot(round, compactedNext, hostsNext, ipsNext,
       maxSeq + sieveOut, frontSizeNext, force = false, headsState = headsNextV)
-    val (fNext, tombNext, tombRowsFinal) =
+    val (fNext, tombNext, tombRowsFinal, tombPartsFinal) =
       if (snapped)
-        (spark.read.parquet(stateDir(round, "frontier")), emptyTombstones, 0L)
+        (spark.read.parquet(stateDir(round, "frontier")), emptyTombstones, 0L, 0)
       else if (tombRowsNext >= cfg.tombstoneCompactRows)
         // amortized GC; re-spread by hostHash: the SMJ output would
         // otherwise collapse to shuffle.partitions partitions whose
@@ -1200,8 +1255,8 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
         // into its sort-based fallback (and hostHash layout lets the next
         // heads groupBy skip its exchange entirely)
         (compactedNext.repartition(cfg.statePartitions * 4, col("hostHash"))
-          .transform(lc), emptyTombstones, 0L)
-      else (frontierNext, tombstonesNext, tombRowsNext)
+          .transform(lc), emptyTombstones, 0L, 0)
+      else (frontierNext, tombstonesNext, tombRowsNext, tombPartsNext)
     val (hNext, iNext) =
       if (snapped)
         (spark.read.parquet(stateDir(round, "hosts")),
@@ -1213,7 +1268,7 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
       else st.digests
     live = Some(LiveState(round, maxSeq + sieveOut, frontSizeNext, fNext, hNext, iNext,
       seenNext, digestsNext, tombNext, pendingRowsNext, tombRowsFinal,
-      headsState = headsNextV))
+      tombParts = tombPartsFinal, headsState = headsNextV))
 
     fetched0.unpersist(); selected.unpersist()
     parsedLinks.unpersist(); hostsU.unpersist()
@@ -1244,6 +1299,10 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
   /** Run (or resume) the crawl up to cfg.maxRounds; returns rounds executed.
     * A round with zero fetches is a politeness wait, not necessarily the
     * end: the crawl is drained only when the frontier itself is empty. */
+  /** (round, fetched, wall-sec) per executed round — bench/probe telemetry
+    * for the fixed-cost-vs-round-size analysis. */
+  val roundWalls = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
+
   def run(): Int = {
     var round = lastCompleteRound()
     if (round < 0) { init(); round = 0 }
@@ -1253,8 +1312,10 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
       round += 1
       val t0 = System.nanoTime()
       val n = runRound(round)
+      val wall = (System.nanoTime() - t0) / 1e9
+      roundWalls += ((round, n, wall))
       if (cfg.logRounds)
-        println(f"[crawler] round=$round fetched=$n wall=${(System.nanoTime() - t0) / 1e9}%.1fs")
+        println(f"[crawler] round=$round fetched=$n wall=$wall%.1fs")
       executed += 1
       if (n == 0)
         drained = live.forall(_.pendingRows <= 0)

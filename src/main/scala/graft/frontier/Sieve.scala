@@ -121,6 +121,7 @@ object Sieve {
       mat: DataFrame => DataFrame,
       broadcastLimit: Long,
       candidateCount: Long,
+      seenCount: Long = -1L,
       batchFpp: Double = 0.001): DataFrame = {
     val spark = candidates.sparkSession
     // batch bloom over ALL candidate hashes: one column-pruned scan of the
@@ -131,9 +132,20 @@ object Sieve {
     val batchBloom = candidates.stat.bloomFilter("urlHash",
       math.max(candidateCount, 1024L), batchFpp)
     val bb = Seq(spark.sparkContext.broadcast(batchBloom))
-    val present = mat(seen.where(graft.functions.might_contain_bank(col("urlHash"), bb)))
-    val presentCount = present.count()
+    val presentPlan = seen.where(graft.functions.might_contain_bank(col("urlHash"), bb))
     val deduped = Ranking.firstPerKey(candidates, "urlHash", orderCols)
+    // |present| <= |batch| + |seen|*fpp: when that bound already fits the
+    // broadcast limit, skip the materialize-and-count barriers entirely —
+    // the broadcast exchange inside the anti-join evaluates the seen scan
+    // exactly once, and the whole sieve tail is ONE job instead of three
+    // (materialize present, count present, anti-join).
+    val presentUpper =
+      if (seenCount < 0) Long.MaxValue
+      else candidateCount + math.ceil(seenCount * batchFpp).toLong
+    if (presentUpper <= broadcastLimit)
+      return mat(deduped.join(broadcast(presentPlan), Seq("urlHash"), "left_anti"))
+    val present = mat(presentPlan)
+    val presentCount = present.count()
     if (presentCount == 0) return mat(deduped)
     if (presentCount <= broadcastLimit)
       // ONE materialization of the batch: dedup feeds the broadcast

@@ -220,6 +220,8 @@ object BloomBank {
   }
   def unwrap(bank: Array[org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]])
       : Array[org.apache.spark.util.sketch.BloomFilter] = bank.map(_.value)
+  def unwrap(bank: Seq[org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]])
+      : Array[org.apache.spark.util.sketch.BloomFilter] = bank.map(_.value).toArray
 }
 
 /** Codegen'd membership probe against a BANK of individually-broadcast
@@ -231,16 +233,20 @@ object BloomBank {
   * Each filter is broadcast ONCE when it is built: re-broadcasting the
   * whole (tens-of-MB) bank every round serialized it on the driver and
   * re-shipped it to every executor per round — per-filter broadcasts make
-  * the per-round cost just the (small) new delta. */
+  * the per-round cost just the (small) new delta.
+  *
+  * The bank is a Seq (NOT an Array) so case-class equality is structural:
+  * two probes over the same broadcast handles compare equal, keeping
+  * subexpression elimination / plan canonicalization effective. */
 case class MightContainBank(child: Expression,
-    bank: Array[org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]])
+    bank: Seq[org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]])
   extends UnaryExpression {
   override def dataType: DataType = BooleanType
   @transient private lazy val filters = BloomBank.unwrap(bank)
   override def nullSafeEval(input: Any): Any =
     BloomBank.mightContain(filters, input.asInstanceOf[Long])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val bankRef = ctx.addReferenceObj("bloomBankRefs", bank,
+    val bankRef = ctx.addReferenceObj("bloomBankRefs", bank.toArray,
       "org.apache.spark.broadcast.Broadcast[]")
     // unwrap the broadcasts ONCE per task, not per row
     val arr = ctx.addMutableState("org.apache.spark.util.sketch.BloomFilter[]", "bloomArr",

@@ -49,7 +49,7 @@ package object functions {
     * prefilter). */
   def might_contain_bank(c: Column,
       bank: Seq[org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]]): Column =
-    mkCol(MightContainBank(toExpr(c), bank.toArray))
+    mkCol(MightContainBank(toExpr(c), bank.toIndexedSeq))
 
   /** 64-bit SimHash over whitespace tokens. */
   def simhash64(text: Column): Column = mkCol(SimHash64(toExpr(text)))

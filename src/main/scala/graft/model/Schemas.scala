@@ -87,7 +87,11 @@ case class FetchResult(
       * of the cached fetch batch */
     nBytes: Long = 0L,
     nMedia: Int = 0,
-    nLinks: Int = 0)
+    nLinks: Int = 0,
+    /** META-declared charset with the ISO-8859-1 fallback (the reference's
+      * guessedCharset, HTMLParser.java:467,691-717 — the WARC
+      * BUBING_GUESSED_CHARSET header analog); null for non-HTML results */
+    guessedCharset: String = null)
 
 /** One stored document (the WARC-store analog, `store/WarcStore.java:41`). */
 case class StoredDoc(
@@ -99,6 +103,7 @@ case class StoredDoc(
     is_duplicate: Boolean,
     truncated: Boolean,
     n_links: Int,
+    guessed_charset: String,
     round: Int)
 
 /** Per-round, per-partition lineage + fetch/parse metrics (north_rule). */

@@ -26,20 +26,99 @@ import graft.model.Span
   *     script/style text suppressed, host seeding, and 3xx location
   *     mixing (HTMLParser.java:636-643).
   *
+  * Charset guessing (HTMLParser.java:467,666-736): the reference defaults
+  * to ISO-8859-1 and overrides it from the first `META HTTP-EQUIV=
+  * content-type` tag's `content` attribute's `charset=` parameter —
+  * [[guessCharset]] reproduces that scan (same patterns, same
+  * first-meta/greedy-last-charset behavior) over the markup string; the
+  * transport half (Content-Type header, WARC header) is covered by
+  * [[charsetFromContentType]]. Since pages enter this engine as decoded
+  * strings, the guess is metadata (the `guessed_charset` docs column, the
+  * WARC-header analog), not a decode step.
+  *
   * Differences from the reference, by design: the digest hash is the
   * engine-wide murmur64 over the canonical byte stream (equality classes,
-  * not byte-identical MD5 output), and charset guessing is out of scope
-  * (we parse decoded strings; transport is a non-goal per SURVEY.md §5).
+  * not byte-identical MD5 output).
   */
 object HtmlParser {
 
-  /** Everything the crawler needs from one parsed page. */
+  /** Everything the crawler needs from one parsed page.
+    * `guessedCharset` follows HTMLParser.java:467: "ISO-8859-1" unless a
+    * META http-equiv content-type declares otherwise. */
   final case class Result(
       links: Vector[String],
       spans: Vector[Span],
       digest: String,
       location: Option[String],
-      metaLocation: Option[String])
+      metaLocation: Option[String],
+      guessedCharset: String = DefaultCharset)
+
+  /** The reference's fallback charset (HTMLParser.java:467). */
+  val DefaultCharset = "ISO-8859-1"
+
+  // Reference patterns (HTMLParser.java:668-674): matched with matches(),
+  // so the greedy `.*` prefix makes the LAST in-tag `content=` / in-value
+  // `charset=` win, while the FIRST matching meta tag wins overall.
+  private val HttpEquivPattern = java.util.regex.Pattern.compile(
+    ".*http-equiv\\s*=\\s*('|\")?content-type('|\")?.*",
+    java.util.regex.Pattern.CASE_INSENSITIVE)
+  private val ContentPattern = java.util.regex.Pattern.compile(
+    ".*content\\s*=\\s*('|\")([^'\"]*)('|\").*",
+    java.util.regex.Pattern.CASE_INSENSITIVE)
+  private val CharsetPattern = java.util.regex.Pattern.compile(
+    ".*charset\\s*=\\s*(([\\041-\\0176&&[^<>\\{\\}\\\\/:,;@?=]])+|\"[^\"]*\").*",
+    java.util.regex.Pattern.CASE_INSENSITIVE)
+
+  /** Charset name from a content-type value (HTMLParser.java:719-736):
+    * the `charset=` parameter, delimiting quotes stripped; None when the
+    * value declares no charset. */
+  def charsetFromContentType(headerValue: String): Option[String] = {
+    val m = CharsetPattern.matcher(headerValue)
+    if (!m.matches()) return None
+    val s = m.group(1)
+    var start = 0
+    var end = s.length
+    if (end > 0 && (s.charAt(0) == '"' || s.charAt(0) == '\'')) start = 1
+    if (end > 0 && (s.charAt(end - 1) == '"' || s.charAt(end - 1) == '\'')) end -= 1
+    if (start < end) Some(s.substring(start, end)) else None
+  }
+
+  private def indexOfIgnoreCase(s: String, target: String, from: Int): Int = {
+    val n = s.length - target.length
+    var i = math.max(0, from)
+    while (i <= n) {
+      if (s.regionMatches(true, i, target, 0, target.length)) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** The META http-equiv charset scan (HTMLParser.java:681-717): find each
+    * `<meta` (case-insensitive), take the tag content up to the closing
+    * `>`; on the FIRST tag whose content matches `http-equiv=content-type`
+    * and has a quoted `content=` value, return that value's `charset=`
+    * parameter (None when it declares none — the reference stops there,
+    * even if a later meta tag would match). None when no `<meta` matches
+    * or a tag is unterminated. Note: the modern `<meta charset=...>` form
+    * is NOT honored — faithfully to the reference. */
+  def guessCharset(html: String): Option[String] = {
+    var start = indexOfIgnoreCase(html, "<meta", 0)
+    while (start >= 0) {
+      val end = html.indexOf('>', start)
+      if (end < 0) return None // no closing '>' (HTMLParser.java:695)
+      val tagContent = html.substring(start + 5, end)
+      if (HttpEquivPattern.matcher(tagContent).matches()) {
+        val m = ContentPattern.matcher(tagContent)
+        if (m.matches()) return charsetFromContentType(m.group(2))
+      }
+      start = indexOfIgnoreCase(html, "<meta", end + 1)
+    }
+    None
+  }
+
+  /** [[guessCharset]] with the reference's ISO-8859-1 fallback. */
+  def guessedCharset(html: String): String =
+    guessCharset(html).getOrElse(DefaultCharset)
 
   /** Jericho-style known HTML element set (HTMLElements.getElementNames);
     * unknown names hash as `<unknown>` (HTMLParser.java:190-197). */
@@ -445,6 +524,6 @@ object HtmlParser {
     }
 
     Result(links.result(), spans.result(), digester.digest(),
-      Option(location), Option(metaLocation))
+      Option(location), Option(metaLocation), guessedCharset(html))
   }
 }

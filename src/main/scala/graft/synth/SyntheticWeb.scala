@@ -199,11 +199,28 @@ object SyntheticWeb {
     * consuming the generator's outputs directly. `HtmlParser.parse`
     * round-trips this rendering back to exactly `pageSpans` and the
     * media-refs ++ deduplicated `successors` link sequence. */
+  /** Charset a host's pages declare via META http-equiv (null = none →
+    * the parser's ISO-8859-1 default); deterministic in the host. */
+  def declaredCharset(host: String, cfg: Config): String = {
+    val h = MurmurHash3Bubing.hashString(host, cfg.seed ^ 0x43686172736574L) // "Charset"
+    java.lang.Math.floorMod(h, 3L) match {
+      case 0L => "UTF-8"
+      case 1L => "windows-1252"
+      case _  => null
+    }
+  }
+
   def pageHtml(url: String, cfg: Config): String = {
     val spans = pageSpans(url, cfg)
     val links = successors(url, cfg)
     val sb = new StringBuilder(512)
-    sb.append("<html><head><title></title></head><body>")
+    sb.append("<html><head>")
+    val h0 = hostOf(canonicalPage(url))
+    val cs = if (h0 == null) null else declaredCharset(h0, cfg)
+    if (cs != null)
+      sb.append("<meta http-equiv=\"Content-Type\" content=\"text/html; charset=")
+        .append(cs).append("\">")
+    sb.append("<title></title></head><body>")
     spans.foreach { sp =>
       if (sp.kind == "media") sb.append("<img src=\"").append(sp.media_ref).append("\">")
       else sb.append("<p>").append(sp.text).append("</p>")

@@ -163,6 +163,15 @@ class PlanQualitySpec extends AnyFunSuite {
         candidateCount = 3000L)
       assert(out.select("urlHash").as[Long].collect().toSet == (100001L to 102000L).toSet)
       assert(!finalPlan(out).contains("SortMergeJoin"))
+      // barrier-free shortcut: with a seen count, the present-set bound
+      // fits the broadcast limit and the materialize+count barriers are
+      // skipped — same exact result, still no SMJ
+      val outFast = graft.frontier.Sieve.newUrlsScanProbe(batch, seen,
+        Seq("parentSeq", "linkIdx"), Seq(spark.sparkContext.broadcast(bloom)),
+        mat = df => df.localCheckpoint(true), broadcastLimit = 1L << 20,
+        candidateCount = 3000L, seenCount = 100000L)
+      assert(outFast.select("urlHash").as[Long].collect().toSet == (100001L to 102000L).toSet)
+      assert(!finalPlan(outFast).contains("SortMergeJoin"))
       // the oversized-present fallback path is exact too (bank-split +
       // join against present, still never against the full seen store)
       val outFb = graft.frontier.Sieve.newUrlsScanProbe(batch, seen,
@@ -178,7 +187,9 @@ class PlanQualitySpec extends AnyFunSuite {
         val v = shuffled.get
         if (v == last) stable += 1 else { stable = 0; last = v }
       }
-      assert(shuffled.get < 20000L,
+      // three sieve runs, each shuffling only batch-sized data (~3k rows);
+      // any leak of the 100k-row seen store would blow far past this
+      assert(shuffled.get < 30000L,
         s"scan-probe shuffled ${shuffled.get} records — the seen store leaked into a shuffle")
     } finally spark.sparkContext.removeSparkListener(listener)
   }

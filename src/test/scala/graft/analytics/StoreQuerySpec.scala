@@ -88,6 +88,21 @@ class StoreQuerySpec extends AnyFunSuite {
       "successful robots fetches carry their parsed prefixes")
   }
 
+  test("docs carry guessed_charset matching the host's META declaration") {
+    val webCfg = SyntheticWeb.Config(sites = 40, degree = 4, maxDepth = 2)
+    import spark.implicits._
+    val rows = crawler.docs()
+      .select(col("doc_id"), col("guessed_charset")).as[(String, String)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (url, got) =>
+      val declared = SyntheticWeb.declaredCharset(graft.core.Burl.host(url), webCfg)
+      val expect = if (declared == null) "ISO-8859-1" else declared
+      assert(got == expect, s"$url: guessed $got, declared $declared")
+    }
+    // both branches exercised
+    assert(rows.exists(_._2 == "ISO-8859-1") && rows.exists(_._2 != "ISO-8859-1"))
+  }
+
   test("metrics carry byte and media-span counters") {
     val m = crawler.metrics()
     assert(m.agg(sum("bytes_fetched")).collect()(0).getLong(0) > 0)

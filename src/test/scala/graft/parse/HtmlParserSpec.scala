@@ -203,6 +203,56 @@ class HtmlParserSpec extends AnyFunSuite {
     assert(HtmlParser.parse("http://h/", "<!-- <a href='http://x/'>y</a> -->").links.isEmpty)
   }
 
+  // --- charset guessing (HTMLParser.java:467,666-736 semantics) ---
+
+  test("charset: META http-equiv content-type declares the charset") {
+    assert(HtmlParser.guessCharset(
+      """<html><head><meta http-equiv="content-type" content="text/html; charset=UTF-8"></head></html>""")
+      == Some("UTF-8"))
+    // case-insensitive tag/attr names and single-quoted values
+    assert(HtmlParser.guessCharset(
+      """<META HTTP-EQUIV='Content-Type' CONTENT='text/html; charset=windows-1252'>""")
+      == Some("windows-1252"))
+    // quoted charset value (header path): delimiting quotes stripped
+    assert(HtmlParser.charsetFromContentType("text/html; charset=\"x\"") == Some("x"))
+    assert(HtmlParser.charsetFromContentType("text/html") == None)
+  }
+
+  test("charset: default is ISO-8859-1; modern <meta charset> form is NOT honored (reference behavior)") {
+    assert(HtmlParser.guessedCharset("<html><body>x</body></html>") == "ISO-8859-1")
+    // the reference scans only the http-equiv form (HTMLParser.java:701-709)
+    assert(HtmlParser.guessCharset("""<meta charset="utf-8">""") == None)
+    assert(HtmlParser.guessedCharset("""<meta charset="utf-8">""") == "ISO-8859-1")
+  }
+
+  test("charset: first matching meta wins; charset-less content stops the scan") {
+    assert(HtmlParser.guessCharset(
+      """<meta http-equiv="content-type" content="text/html; charset=KOI8-R">""" +
+        """<meta http-equiv="content-type" content="text/html; charset=UTF-8">""")
+      == Some("KOI8-R"))
+    // first matching meta has no charset parameter: the reference returns
+    // null WITHOUT considering later tags (HTMLParser.java:706-708)
+    assert(HtmlParser.guessCharset(
+      """<meta http-equiv="content-type" content="text/html">""" +
+        """<meta http-equiv="content-type" content="text/html; charset=UTF-8">""")
+      == None)
+  }
+
+  test("charset: greedy regex takes the LAST charset= inside the value; unterminated tag aborts") {
+    // matches() with a greedy .* prefix — reference CHARSET_PATTERN behavior
+    assert(HtmlParser.charsetFromContentType("a charset=first b charset=second")
+      == Some("second"))
+    assert(HtmlParser.guessCharset("<meta http-equiv=\"content-type\" content=\"x\"")
+      == None) // no closing '>' (HTMLParser.java:695)
+  }
+
+  test("charset: parse() surfaces guessedCharset on the Result") {
+    val r = HtmlParser.parse("http://h/",
+      """<html><head><meta http-equiv="content-type" content="text/html; charset=UTF-8"></head><body>x</body></html>""")
+    assert(r.guessedCharset == "UTF-8")
+    assert(HtmlParser.parse("http://h/", "<p>x</p>").guessedCharset == "ISO-8859-1")
+  }
+
   test("entity references in attribute values decode before resolve (Jericho semantics)") {
     val r = HtmlParser.parse("http://h.example/base/",
       """<a href="a?x=1&amp;y=2">l</a><img src="i.jpg?a=1&amp;b=2">""" +
