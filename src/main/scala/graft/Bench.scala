@@ -168,6 +168,46 @@ object Bench {
     (1 to 2).map(_ => calibrateMemOnce(threads, 3)).max
   }
 
+  /** RANDOM-ACCESS memory calibration: dependent 64-bit loads at random
+    * offsets in a per-thread 128 MB buffer — the access shape of hash
+    * aggregation, shuffle hash tables, and cache probes (the frontier's
+    * dominant kernels), as opposed to [[calibrateMemOnce]]'s linear
+    * streaming. Random access hits the shared memory system harder than
+    * streaming (no prefetch), so this is the TIGHTEST honest ceiling for
+    * the engine's thread-scaling on a single-bus box. */
+  private def calibrateMemRandomOnce(threads: Int, accesses: Long): Double = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val words = (128 << 20) / 8
+    val bufs = Array.fill(threads)(Array.tabulate[Long](words)(i => (i * 0x9e3779b97f4a7c15L)))
+    val t0 = System.nanoTime()
+    val futs = (0 until threads).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = {
+          val buf = bufs(i)
+          var x = 0x12345678L + i
+          var h = 0L
+          var n = 0L
+          while (n < accesses) {
+            // xorshift index: a dependent random walk (each load feeds the
+            // next address — latency-bound like a hash-table probe chain)
+            x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+            h += buf(java.lang.Math.floorMod(x + h, words.toLong).toInt)
+            n += 1
+          }
+          h
+        }
+      })
+    }
+    futs.foreach(_.get())
+    pool.shutdown()
+    threads * accesses / ((System.nanoTime() - t0) / 1e9)
+  }
+
+  private def calibrateMemRandom(threads: Int): Double = {
+    calibrateMemRandomOnce(threads, 2000000L)
+    (1 to 2).map(_ => calibrateMemRandomOnce(threads, 8000000L)).max
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -209,6 +249,9 @@ object Bench {
     val memLo = calibrateMem(nLo)
     val memHi = calibrateMem(nHi)
     val memEff = (memHi / memLo) / (nHi.toDouble / nLo)
+    val memRndLo = calibrateMemRandom(nLo)
+    val memRndHi = calibrateMemRandom(nHi)
+    val memRndEff = (memRndHi / memRndLo) / (nHi.toDouble / nLo)
     // the hypervisor's CPU delivery fluctuates run-to-run and degrades
     // under sustained load (±30% observed, worst on the last runs of a
     // sequence). SYMMETRIC protocol: best-of-2 at EACH level, interleaved
@@ -243,7 +286,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val totalQuerySec = results.map(_._2).sum
     val json =
-      f"""{"metric":"frontier_urls_scheduled_deduped_per_sec","value":$rateHi%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","total_query_sec":$totalQuerySec%.2f,"frontier":{"levels":[$nLo,$nHi],"local${nLo}_urls_per_sec":$rateLo%.1f,"local${nHi}_urls_per_sec":$rateHi%.1f,"scaling_efficiency":$efficiency%.3f,"cpu_calibration_efficiency":$calibEff%.3f,"mem_calibration_efficiency":$memEff%.3f,"urls_processed":$processedHi,"urls_processed_lo":$processedLo,"wall_lo_sec":$wallLo%.1f,"wall_hi_sec":$wallHi%.1f,${wallsJson("wall_lo_runs", loRuns)},${wallsJson("wall_hi_runs", hiRuns)},"selection":"${if (hiRuns.size > 1) "best-of-2 per level, symmetric, order lo-hi-hi-lo" else "1 run per level, order lo-hi (asymmetric degraded protocol; late slot on hi deflates efficiency)"}","identical_crawl":$identical}}"""
+      f"""{"metric":"frontier_urls_scheduled_deduped_per_sec","value":$rateHi%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","total_query_sec":$totalQuerySec%.2f,"frontier":{"levels":[$nLo,$nHi],"local${nLo}_urls_per_sec":$rateLo%.1f,"local${nHi}_urls_per_sec":$rateHi%.1f,"scaling_efficiency":$efficiency%.3f,"cpu_calibration_efficiency":$calibEff%.3f,"mem_calibration_efficiency":$memEff%.3f,"mem_random_calibration_efficiency":$memRndEff%.3f,"urls_processed":$processedHi,"urls_processed_lo":$processedLo,"wall_lo_sec":$wallLo%.1f,"wall_hi_sec":$wallHi%.1f,${wallsJson("wall_lo_runs", loRuns)},${wallsJson("wall_hi_runs", hiRuns)},"selection":"${if (hiRuns.size > 1) "best-of-2 per level, symmetric, order lo-hi-hi-lo" else "1 run per level, order lo-hi (asymmetric degraded protocol; late slot on hi deflates efficiency)"}","identical_crawl":$identical}}"""
     println(json)
 
     val md =
@@ -276,7 +319,10 @@ object Bench {
          |  - pure-CPU (cache-resident 64B buffers): **$calibEff%.3f**
          |    ($calibLo%.0f -> $calibHi%.0f hashes/s) — the core-count ceiling;
          |  - memory-streaming (128 MB/thread buffers, beyond LLC): **$memEff%.3f**
-         |    (${memLo / 1e9}%.1f -> ${memHi / 1e9}%.1f GB/s) — the SHARED-BUS ceiling.
+         |    (${memLo / 1e9}%.1f -> ${memHi / 1e9}%.1f GB/s) — the shared-bus STREAMING ceiling;
+         |  - memory RANDOM-ACCESS (dependent 64-bit loads, 128 MB/thread): **$memRndEff%.3f**
+         |    (${memRndLo / 1e6}%.1f -> ${memRndHi / 1e6}%.1f Maccess/s) — the hash-agg/shuffle-shaped
+         |    ceiling, the access pattern the frontier's dominant kernels actually have.
          |The frontier's work is memory-shaped (parse + materialize + cache
          |scans, tens of GB per run; executor CPU-time for the IDENTICAL
          |crawl inflates with thread count from bus contention), so the

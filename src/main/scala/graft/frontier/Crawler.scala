@@ -241,6 +241,12 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
   // conf, set it before the first session when running standalone
   try spark.conf.set("spark.sql.codegen.cache.maxEntries", "10000")
   catch { case _: org.apache.spark.sql.AnalysisException => () } // static conf set too late: harness sets it at session build
+  // bloom_agg (the fused filter builds) is clamped by the runtime-filter
+  // size caps (default 4M items / 67M bits — far below a crawl's
+  // per-round deltas); raise them so the fused filters keep their sized
+  // fpp instead of silently degrading
+  spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", (256L << 20).toString)
+  spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", (8L << 30).toString)
 
   private val stateLevel = org.apache.spark.storage.StorageLevel.fromString(cfg.stateStorage)
   private def lc(df: DataFrame): DataFrame = df.localCheckpoint(true, stateLevel)
@@ -529,15 +535,15 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
     bloomBank
   }
 
-  /** Record this round's delta bloom (built distributed from the
-    * materialized sieve output) and consolidate when the bank is long. */
-  private def extendBloom(state: LiveState, delta: DataFrame, deltaRows: Long,
+  /** Record this round's delta bloom (built distributed, fused onto the
+    * seen write via an observed bloom_agg; null = empty delta) and
+    * consolidate when the bank is long. */
+  private def extendBloom(delta: org.apache.spark.util.sketch.BloomFilter,
       round: Int): Unit = {
     if (!cfg.useBloom) return
     if (bloomRound >= 0 && bloomBank.nonEmpty) {
-      if (deltaRows > 0)
-        bloomBank :+= spark.sparkContext.broadcast(
-          delta.stat.bloomFilter("urlHash", math.max(deltaRows, 1024L), cfg.bloomFpp))
+      if (delta != null)
+        bloomBank :+= spark.sparkContext.broadcast(delta)
       if (bloomBank.size > cfg.bloomMaxDeltas) clearBloomBank() // rebuild next round
     }
     bloomRound = round
@@ -780,12 +786,19 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
     // rounds write an empty trace partition (harmless to readers).
     val traceObs = org.apache.spark.sql.Observation()
     fetched
-      .select(col("seq"), col("url"), col("isRobots"), col("status"), col("excClass"))
+      .select(col("seq"), col("url"), col("isRobots"), col("status"), col("excClass"),
+        col("nLinks"))
       .observe(traceObs, count(lit(1)).as("cnt"),
-        min("seq").as("lo"), max("seq").as("hi"))
+        min("seq").as("lo"), max("seq").as("hi"),
+        sum("nLinks").as("nl")) // raw-outlink upper bound, sizes the batch bloom
+      .drop("nLinks")
       .write.mode(SaveMode.Overwrite).parquet(appendDir("trace", round))
     val obsRow = traceObs.get
     val fetchedCount = obsRow("cnt").asInstanceOf[Long]
+    val linksUpper = obsRow("nl") match {
+      case null => 0L
+      case l: java.lang.Long => l.longValue()
+    }
     if (fetchedCount == 0) {
       val disLc = if (windowGatesActive) disallowed.transform(lc) else null
       val disRows = if (disLc == null) 0L else disLc.count()
@@ -1006,6 +1019,9 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
     val tombstoneDelta = completedUrls.unionByName(disallowed).unionByName(droppedUrls)
 
     val blooms = bloomFilters(st)
+    // delta blooms extend an EXISTING bank (cold-start rounds build the
+    // consolidated filter instead next round)
+    val wantDeltaBloom = cfg.useBloom && bloomRound >= 0 && bloomBank.nonEmpty
     // parentSeq bounds of this round's links drive the deterministic rank
     // buckets (from the trace-write Observation's scalars)
     val (loSeq, hiSeq) = obsRow("lo") match {
@@ -1035,7 +1051,14 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
           col("excClass"), col("robotsPrefixes"))
         .write.mode(SaveMode.Overwrite).parquet(appendDir("robots_fetches", round)),
       () => if (cfg.storeDocs) {
-        docs.where(col("__store"))
+        // the duplicates telemetry rides the docs write as an observed
+        // aggregate BELOW the store filter (all flagged pages flow through
+        // the metrics point) — no separate count job over the batch
+        val dupObs = org.apache.spark.sql.Observation()
+        docs
+          .observe(dupObs,
+            sum(col("is_duplicate").cast("long")).as("dups"))
+          .where(col("__store"))
           .select(col("url").as("doc_id"), col("schemeAuthority"), col("spans"),
             col("digest"), col("status"), col("is_duplicate"), col("truncated"),
             col("guessedCharset").as("guessed_charset"),
@@ -1048,23 +1071,37 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
               l => burl_host(l) =!= burl_host(col("url"))))
               .as("n_links_ext")) // round = partition dir
           .write.mode(SaveMode.Overwrite).parquet(appendDir("docs", round))
+        duplicates = dupObs.get("dups") match {
+          case null => 0L
+          case l: java.lang.Long => l.longValue()
+        }
         newDigests.write.mode(SaveMode.Overwrite).parquet(appendDir("digests", round))
-        duplicates = docs.where(col("is_duplicate")).count()
       },
       // link batch + sieve: the seen store is only ever SCANNED, never
       // shuffled/sorted/broadcast (scan-probe; the r2 SMJ path re-shuffled
-      // all accumulated seen hashes every round)
+      // all accumulated seen hashes every round). The candidate count and
+      // the batch bloom come out of ONE aggregation over the link cache
+      // (bloom_agg riding the count job) — separately they cost two full
+      // passes over the widest per-round stream.
       () => {
-        dedupIn = parsedLinks.count()
-        sievedInput =
-          if (blooms.nonEmpty)
-            Sieve.newUrlsScanProbe(parsedLinks, seen, Seq("parentSeq", "linkIdx"),
-              blooms, lc, broadcastLimit = cfg.probeThreshold,
-              candidateCount = dedupIn, seenCount = maxSeq)
-          else Sieve
+        if (blooms.nonEmpty) {
+          val r = parsedLinks.agg(count(lit(1)).as("c"),
+            bloom_agg(col("urlHash"), math.max(linksUpper, 1024L), 0.001).as("bf"))
+            .collect()(0)
+          dedupIn = r.getLong(0)
+          val bb = if (r.isNullAt(1)) null else bloom_from_bytes(r.getAs[Array[Byte]](1))
+          sievedInput = Sieve.newUrlsScanProbe(parsedLinks, seen,
+            Seq("parentSeq", "linkIdx"), blooms, lc,
+            broadcastLimit = cfg.probeThreshold,
+            candidateCount = dedupIn, seenCount = maxSeq,
+            prebuiltBatchBloom = bb)
+        } else {
+          dedupIn = parsedLinks.count()
+          sievedInput = Sieve
             .newUrls(parsedLinks, seen, Seq("parentSeq", "linkIdx"), Nil,
               broadcastProbe = dedupIn <= cfg.probeThreshold)
             .transform(lc)
+        }
       },
       // host-state update (materializes the hostsU cache + hostAgg
       // broadcast) and the tombstone DELTA fold — both independent of the
@@ -1124,12 +1161,24 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
       },
       // seen append: ALL sieved urls (even budget-dropped ones are "seen"
       // — the reference sieve recorded them before append()'s budget
-      // re-check)
-      () => sievedInput.select("urlHash")
-        .write.mode(SaveMode.Overwrite).parquet(appendDir("seen", round)),
-      // delta bloom sized by dedupIn (an upper bound on the delta row
-      // count, already known — sieveOut is being computed concurrently)
-      () => extendBloom(st, sievedInput, dedupIn, round))
+      // re-check). The per-round DELTA bloom (sized by dedupIn, an upper
+      // bound on the delta) rides this write as an observed bloom_agg —
+      // fused, where a separate stat.bloomFilter pass cost its own job.
+      () => {
+        val seenOut = sievedInput.select("urlHash")
+        if (wantDeltaBloom) {
+          val o = org.apache.spark.sql.Observation()
+          seenOut
+            .observe(o, bloom_agg(col("urlHash"), math.max(dedupIn, 1024L),
+              cfg.bloomFpp).as("bf"))
+            .write.mode(SaveMode.Overwrite).parquet(appendDir("seen", round))
+          val bytes = o.get("bf").asInstanceOf[Array[Byte]]
+          extendBloom(if (bytes == null) null else bloom_from_bytes(bytes), round)
+        } else {
+          seenOut.write.mode(SaveMode.Overwrite).parquet(appendDir("seen", round))
+          extendBloom(null, round)
+        }
+      })
 
     val frontierNext = st.frontier.unionByName(newDelta)
     val dedupOut =

@@ -122,15 +122,24 @@ object Sieve {
       broadcastLimit: Long,
       candidateCount: Long,
       seenCount: Long = -1L,
-      batchFpp: Double = 0.001): DataFrame = {
+      batchFpp: Double = 0.001,
+      prebuiltBatchBloom: BloomFilter = null): DataFrame = {
     val spark = candidates.sparkSession
     // batch bloom over ALL candidate hashes: one column-pruned scan of the
     // (columnar-cached) candidate batch — the batch itself is NOT
     // materialized for this. Bank-negative (sure-new) candidates cannot be
     // in seen, so `present` computed from the all-candidates bloom equals
-    // seen ∩ batch exactly (plus ~seen*fpp false positives).
-    val batchBloom = candidates.stat.bloomFilter("urlHash",
-      math.max(candidateCount, 1024L), batchFpp)
+    // seen ∩ batch exactly (plus ~seen*fpp false positives). Callers that
+    // already aggregated the batch (e.g. fusing the filter build with the
+    // candidate count via bloom_agg) pass the filter in and skip the pass.
+    // empty batch: nothing can be present in seen, and building a bloom
+    // over zero rows is ill-defined (Spark's stat.bloomFilter NPEs on it)
+    if (candidateCount == 0 && prebuiltBatchBloom == null)
+      return mat(Ranking.firstPerKey(candidates, "urlHash", orderCols))
+    val batchBloom =
+      if (prebuiltBatchBloom != null) prebuiltBatchBloom
+      else candidates.stat.bloomFilter("urlHash",
+        math.max(candidateCount, 1024L), batchFpp)
     val bb = Seq(spark.sparkContext.broadcast(batchBloom))
     val presentPlan = seen.where(graft.functions.might_contain_bank(col("urlHash"), bb))
     val deduped = Ranking.firstPerKey(candidates, "urlHash", orderCols)

@@ -51,6 +51,26 @@ package object functions {
       bank: Seq[org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]]): Column =
     mkCol(MightContainBank(toExpr(c), bank.toIndexedSeq))
 
+  /** Catalyst BloomFilterAggregate over a long column: builds the same
+    * `spark.util.sketch.BloomFilter` as `df.stat.bloomFilter`, but as an
+    * AGGREGATE EXPRESSION — so the filter build can RIDE an existing job
+    * (fused with a count, or observed on a write) instead of costing its
+    * own pass over the data. Yields the serialized filter as binary
+    * (null for zero rows); decode with [[bloom_from_bytes]]. NOTE: the
+    * session confs `spark.sql.optimizer.runtime.bloomFilter.maxNumItems`/
+    * `maxNumBits` clamp the size — raise them for large `expectedItems`. */
+  def bloom_agg(c: Column, expectedItems: Long, fpp: Double): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val items = math.max(expectedItems, 1024L)
+    val numBits = math.max(64L,
+      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(items, fpp))
+    mkCol(new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+      toExpr(c), Literal(items), Literal(numBits)).toAggregateExpression())
+  }
+
+  def bloom_from_bytes(b: Array[Byte]): org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(b)
+
   /** 64-bit SimHash over whitespace tokens. */
   def simhash64(text: Column): Column = mkCol(SimHash64(toExpr(text)))
 

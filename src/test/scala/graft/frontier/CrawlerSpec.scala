@@ -53,7 +53,11 @@ class CrawlerSpec extends AnyFunSuite {
   test("bloom on/off produce identical crawls") {
     val d1 = tempDir("bloomOn")
     val d2 = tempDir("bloomOff")
-    val c1 = new Crawler(spark, d1, cfg.copy(useBloom = true, maxRounds = 4))
+    // bloomMinSeen=1 forces the bank + fused batch-bloom/delta-bloom path
+    // even at spec scale (the default 50k gate would skip blooms entirely
+    // on a tiny crawl and the test would compare identical code paths)
+    val c1 = new Crawler(spark, d1,
+      cfg.copy(useBloom = true, bloomMinSeen = 1L, bloomExpected = 4096L, maxRounds = 4))
     val c2 = new Crawler(spark, d2, cfg.copy(useBloom = false, maxRounds = 4))
     c1.run(); c2.run()
     assert(collectTrace(c1) == collectTrace(c2))

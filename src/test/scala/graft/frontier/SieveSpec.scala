@@ -73,4 +73,36 @@ class SieveSpec extends AnyFunSuite {
     assert(exact == bloomed)
     assert(exact.forall(!_.startsWith("s") || !seenUrls.contains(exact)))
   }
+
+  test("bloom_agg builds a filter with stat.bloomFilter membership semantics") {
+    import graft.functions.{bloom_agg, bloom_from_bytes}
+    import org.apache.spark.sql.functions.{col, count, lit}
+    import spark.implicits._
+    val hashes = (1L to 5000L).map(_ * 0x9e37L)
+    val df = hashes.toDF("urlHash")
+    val row = df.agg(count(lit(1)), bloom_agg(col("urlHash"), 5000, 0.01)).collect()(0)
+    assert(row.getLong(0) == 5000L)
+    val agg = bloom_from_bytes(row.getAs[Array[Byte]](1))
+    val ref = df.stat.bloomFilter("urlHash", 5000, 0.01)
+    // no false negatives, and fpp in the sized regime (same putLong path
+    // as stat.bloomFilter -> identical membership semantics)
+    assert(hashes.forall(agg.mightContainLong))
+    val probes = (1L to 20000L).map(i => i * 31L + 7L).filterNot(hashes.contains)
+    val fpAgg = probes.count(agg.mightContainLong)
+    val fpRef = probes.count(ref.mightContainLong)
+    assert(fpAgg <= probes.size / 50, s"bloom_agg fpp too high: $fpAgg/${probes.size}")
+    assert(fpRef <= probes.size / 50)
+    // empty input -> null bytes (caller treats as no filter)
+    val empty = df.limit(0).agg(bloom_agg(col("urlHash"), 10, 0.01)).collect()(0)
+    assert(empty.isNullAt(0))
+    // an Observation on a write carries the filter too (the fused
+    // delta-bloom path)
+    val o = org.apache.spark.sql.Observation()
+    val out = java.nio.file.Files.createTempDirectory("graft-bloomobs").toString
+    df.observe(o, bloom_agg(col("urlHash"), 5000, 0.01).as("bf"))
+      .write.mode("overwrite").parquet(out)
+    val obsBloom = bloom_from_bytes(o.get("bf").asInstanceOf[Array[Byte]])
+    assert(hashes.forall(obsBloom.mightContainLong))
+    new scala.reflect.io.Directory(new java.io.File(out)).deleteRecursively()
+  }
 }
