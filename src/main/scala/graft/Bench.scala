@@ -208,6 +208,44 @@ object Bench {
     (1 to 2).map(_ => calibrateMemRandomOnce(threads, 8000000L)).max
   }
 
+  /** LLC-CAPACITY calibration: dependent random loads over a ~48 MB
+    * per-thread working set WITH reuse — at low thread counts the hot
+    * sets fit the shared L3 (260 MiB on this box), at 4× the threads
+    * they evict each other. This is the access shape of the engine's
+    * per-task hash-aggregation tables and cache-scan working sets, and
+    * the mechanism behind the measured CPU-per-URL inflation of the
+    * identical crawl at higher thread counts. */
+  private def calibrateMemCacheOnce(threads: Int, accesses: Long): Double = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val words = (48 << 20) / 8
+    val bufs = Array.fill(threads)(Array.tabulate[Long](words)(i => i * 0x9e3779b97f4a7c15L))
+    val t0 = System.nanoTime()
+    val futs = (0 until threads).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = {
+          val buf = bufs(i)
+          var x = 0x9e3779b9L + i
+          var h = 0L
+          var n = 0L
+          while (n < accesses) {
+            x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+            h += buf(java.lang.Math.floorMod(x + h, words.toLong).toInt)
+            n += 1
+          }
+          h
+        }
+      })
+    }
+    futs.foreach(_.get())
+    pool.shutdown()
+    threads * accesses / ((System.nanoTime() - t0) / 1e9)
+  }
+
+  private def calibrateMemCache(threads: Int): Double = {
+    calibrateMemCacheOnce(threads, 4000000L)
+    (1 to 2).map(_ => calibrateMemCacheOnce(threads, 16000000L)).max
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -252,6 +290,9 @@ object Bench {
     val memRndLo = calibrateMemRandom(nLo)
     val memRndHi = calibrateMemRandom(nHi)
     val memRndEff = (memRndHi / memRndLo) / (nHi.toDouble / nLo)
+    val memCacheLo = calibrateMemCache(nLo)
+    val memCacheHi = calibrateMemCache(nHi)
+    val memCacheEff = (memCacheHi / memCacheLo) / (nHi.toDouble / nLo)
     // the hypervisor's CPU delivery fluctuates run-to-run and degrades
     // under sustained load (±30% observed, worst on the last runs of a
     // sequence). SYMMETRIC protocol: best-of-2 at EACH level, interleaved
@@ -286,7 +327,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val totalQuerySec = results.map(_._2).sum
     val json =
-      f"""{"metric":"frontier_urls_scheduled_deduped_per_sec","value":$rateHi%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","total_query_sec":$totalQuerySec%.2f,"frontier":{"levels":[$nLo,$nHi],"local${nLo}_urls_per_sec":$rateLo%.1f,"local${nHi}_urls_per_sec":$rateHi%.1f,"scaling_efficiency":$efficiency%.3f,"cpu_calibration_efficiency":$calibEff%.3f,"mem_calibration_efficiency":$memEff%.3f,"mem_random_calibration_efficiency":$memRndEff%.3f,"urls_processed":$processedHi,"urls_processed_lo":$processedLo,"wall_lo_sec":$wallLo%.1f,"wall_hi_sec":$wallHi%.1f,${wallsJson("wall_lo_runs", loRuns)},${wallsJson("wall_hi_runs", hiRuns)},"selection":"${if (hiRuns.size > 1) "best-of-2 per level, symmetric, order lo-hi-hi-lo" else "1 run per level, order lo-hi (asymmetric degraded protocol; late slot on hi deflates efficiency)"}","identical_crawl":$identical}}"""
+      f"""{"metric":"frontier_urls_scheduled_deduped_per_sec","value":$rateHi%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","total_query_sec":$totalQuerySec%.2f,"frontier":{"levels":[$nLo,$nHi],"local${nLo}_urls_per_sec":$rateLo%.1f,"local${nHi}_urls_per_sec":$rateHi%.1f,"scaling_efficiency":$efficiency%.3f,"cpu_calibration_efficiency":$calibEff%.3f,"mem_calibration_efficiency":$memEff%.3f,"mem_random_calibration_efficiency":$memRndEff%.3f,"mem_llc_calibration_efficiency":$memCacheEff%.3f,"urls_processed":$processedHi,"urls_processed_lo":$processedLo,"wall_lo_sec":$wallLo%.1f,"wall_hi_sec":$wallHi%.1f,${wallsJson("wall_lo_runs", loRuns)},${wallsJson("wall_hi_runs", hiRuns)},"selection":"${if (hiRuns.size > 1) "best-of-2 per level, symmetric, order lo-hi-hi-lo" else "1 run per level, order lo-hi (asymmetric degraded protocol; late slot on hi deflates efficiency)"}","identical_crawl":$identical}}"""
     println(json)
 
     val md =
@@ -320,9 +361,15 @@ object Bench {
          |    ($calibLo%.0f -> $calibHi%.0f hashes/s) — the core-count ceiling;
          |  - memory-streaming (128 MB/thread buffers, beyond LLC): **$memEff%.3f**
          |    (${memLo / 1e9}%.1f -> ${memHi / 1e9}%.1f GB/s) — the shared-bus STREAMING ceiling;
-         |  - memory RANDOM-ACCESS (dependent 64-bit loads, 128 MB/thread): **$memRndEff%.3f**
-         |    (${memRndLo / 1e6}%.1f -> ${memRndHi / 1e6}%.1f Maccess/s) — the hash-agg/shuffle-shaped
-         |    ceiling, the access pattern the frontier's dominant kernels actually have.
+         |  - memory RANDOM-ACCESS, no reuse (dependent loads, 128 MB/thread): **$memRndEff%.3f**
+         |    (${memRndLo / 1e6}%.1f -> ${memRndHi / 1e6}%.1f Maccess/s) — DRAM-latency-bound,
+         |    scales almost linearly (independent miss chains);
+         |  - LLC-CAPACITY (dependent loads over a 48 MB/thread hot set WITH
+         |    reuse): **$memCacheEff%.3f** (${memCacheLo / 1e6}%.1f -> ${memCacheHi / 1e6}%.1f Maccess/s) —
+         |    at $nLo threads the hot sets fit the shared 260 MiB L3, at $nHi they
+         |    evict each other; this is the access shape of the engine's hash
+         |    tables and cache scans, and the mechanism behind the measured
+         |    CPU-per-URL inflation of the identical crawl at $nHi threads.
          |The frontier's work is memory-shaped (parse + materialize + cache
          |scans, tens of GB per run; executor CPU-time for the IDENTICAL
          |crawl inflates with thread count from bus contention), so the

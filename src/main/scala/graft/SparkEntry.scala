@@ -269,6 +269,14 @@ object SparkEntry {
     Similarity.bruteForceTopK(emb.where(col("vec_id") =!= 0), "vec_id", "embedding", q, 10)
   }
 
+  /** LSH post-filter ANN — kept deliberately as the REFERENCE POINT the
+    * partitioned layouts are measured against: it computes the same
+    * probe-ball result with a full-corpus scan (the plan you'd get
+    * WITHOUT the bucketed/IVF layout), so the q_ann_lsh vs
+    * q_ann_lsh_bucketed / q_ann_ivf wall-time gap in BENCH is exactly
+    * the value of partition pruning. Not a 100-TB plan by construction;
+    * the scale paths are the *_bucketed/_ivf variants, whose results are
+    * driver-checked via the *_full exact-probe queries. */
   private def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = s.read.parquet(t(dir, "embeddings"))
     val q = emb.where(col("vec_id") === 0).select(col("embedding").cast("array<double>"))
