@@ -168,28 +168,30 @@ object Bench {
     (1 to 2).map(_ => calibrateMemOnce(threads, 3)).max
   }
 
-  /** RANDOM-ACCESS memory calibration: dependent 64-bit loads at random
-    * offsets in a per-thread 128 MB buffer — the access shape of hash
-    * aggregation, shuffle hash tables, and cache probes (the frontier's
-    * dominant kernels), as opposed to [[calibrateMemOnce]]'s linear
-    * streaming. Random access hits the shared memory system harder than
-    * streaming (no prefetch), so this is the TIGHTEST honest ceiling for
-    * the engine's thread-scaling on a single-bus box. */
-  private def calibrateMemRandomOnce(threads: Int, accesses: Long): Double = {
+  /** Dependent-random-load calibration kernel, shared by two access
+    * shapes that differ only in working-set size:
+    *  - 128 MB/thread ([[calibrateMemRandom]]): beyond any cache at any
+    *    thread count — DRAM-LATENCY-bound (independent miss chains per
+    *    thread, scales ~linearly);
+    *  - 48 MB/thread ([[calibrateMemCache]]): LLC-CAPACITY shape — at low
+    *    thread counts the hot sets could fit the shared L3 (260 MiB on
+    *    this box), at 4× the threads they evict each other.
+    * Each load's address depends on the previous value (xorshift walk
+    * mixed with the running sum), like a hash-table probe chain. */
+  private def calibrateMemDependentOnce(threads: Int, accesses: Long,
+      bufBytes: Int, seed: Long): Double = {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
-    val words = (128 << 20) / 8
-    val bufs = Array.fill(threads)(Array.tabulate[Long](words)(i => (i * 0x9e3779b97f4a7c15L)))
+    val words = bufBytes / 8
+    val bufs = Array.fill(threads)(Array.tabulate[Long](words)(i => i * 0x9e3779b97f4a7c15L))
     val t0 = System.nanoTime()
     val futs = (0 until threads).map { i =>
       pool.submit(new java.util.concurrent.Callable[Long] {
         def call(): Long = {
           val buf = bufs(i)
-          var x = 0x12345678L + i
+          var x = seed + i
           var h = 0L
           var n = 0L
           while (n < accesses) {
-            // xorshift index: a dependent random walk (each load feeds the
-            // next address — latency-bound like a hash-table probe chain)
             x ^= x << 13; x ^= x >>> 7; x ^= x << 17
             h += buf(java.lang.Math.floorMod(x + h, words.toLong).toInt)
             n += 1
@@ -204,46 +206,15 @@ object Bench {
   }
 
   private def calibrateMemRandom(threads: Int): Double = {
-    calibrateMemRandomOnce(threads, 2000000L)
-    (1 to 2).map(_ => calibrateMemRandomOnce(threads, 8000000L)).max
-  }
-
-  /** LLC-CAPACITY calibration: dependent random loads over a ~48 MB
-    * per-thread working set WITH reuse — at low thread counts the hot
-    * sets fit the shared L3 (260 MiB on this box), at 4× the threads
-    * they evict each other. This is the access shape of the engine's
-    * per-task hash-aggregation tables and cache-scan working sets, and
-    * the mechanism behind the measured CPU-per-URL inflation of the
-    * identical crawl at higher thread counts. */
-  private def calibrateMemCacheOnce(threads: Int, accesses: Long): Double = {
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
-    val words = (48 << 20) / 8
-    val bufs = Array.fill(threads)(Array.tabulate[Long](words)(i => i * 0x9e3779b97f4a7c15L))
-    val t0 = System.nanoTime()
-    val futs = (0 until threads).map { i =>
-      pool.submit(new java.util.concurrent.Callable[Long] {
-        def call(): Long = {
-          val buf = bufs(i)
-          var x = 0x9e3779b9L + i
-          var h = 0L
-          var n = 0L
-          while (n < accesses) {
-            x ^= x << 13; x ^= x >>> 7; x ^= x << 17
-            h += buf(java.lang.Math.floorMod(x + h, words.toLong).toInt)
-            n += 1
-          }
-          h
-        }
-      })
-    }
-    futs.foreach(_.get())
-    pool.shutdown()
-    threads * accesses / ((System.nanoTime() - t0) / 1e9)
+    calibrateMemDependentOnce(threads, 2000000L, 128 << 20, 0x12345678L)
+    (1 to 2).map(_ =>
+      calibrateMemDependentOnce(threads, 8000000L, 128 << 20, 0x12345678L)).max
   }
 
   private def calibrateMemCache(threads: Int): Double = {
-    calibrateMemCacheOnce(threads, 4000000L)
-    (1 to 2).map(_ => calibrateMemCacheOnce(threads, 16000000L)).max
+    calibrateMemDependentOnce(threads, 4000000L, 48 << 20, 0x9e3779b9L)
+    (1 to 2).map(_ =>
+      calibrateMemDependentOnce(threads, 16000000L, 48 << 20, 0x9e3779b9L)).max
   }
 
   def main(args: Array[String]): Unit = {

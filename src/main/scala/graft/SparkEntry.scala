@@ -262,12 +262,16 @@ object SparkEntry {
     Dedup.ngramJaccard(pairs, docs, "doc_id", "text", n = 3)
   }
 
-  private def qAnnBrute(s: SparkSession, dir: String): DataFrame = {
-    val emb = s.read.parquet(t(dir, "embeddings"))
-    val q = emb.where(col("vec_id") === 0).select(col("embedding").cast("array<double>"))
+  /** Query vector (vec_id=0) shared by every ANN query. */
+  private def queryVec(s: SparkSession, dir: String): Array[Double] =
+    s.read.parquet(t(dir, "embeddings")).where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
       .head().getSeq[Double](0).toArray
-    Similarity.bruteForceTopK(emb.where(col("vec_id") =!= 0), "vec_id", "embedding", q, 10)
-  }
+
+  private def qAnnBrute(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(
+      s.read.parquet(t(dir, "embeddings")).where(col("vec_id") =!= 0),
+      "vec_id", "embedding", queryVec(s, dir), 10)
 
   /** LSH post-filter ANN — kept deliberately as the REFERENCE POINT the
     * partitioned layouts are measured against: it computes the same
@@ -277,47 +281,46 @@ object SparkEntry {
     * the value of partition pruning. Not a 100-TB plan by construction;
     * the scale paths are the *_bucketed/_ivf variants, whose results are
     * driver-checked via the *_full exact-probe queries. */
-  private def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
-    val emb = s.read.parquet(t(dir, "embeddings"))
-    val q = emb.where(col("vec_id") === 0).select(col("embedding").cast("array<double>"))
-      .head().getSeq[Double](0).toArray
-    Similarity.lshTopK(emb.where(col("vec_id") =!= 0), "vec_id", "embedding", q, 10)
-  }
+  private def qAnnLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(
+      s.read.parquet(t(dir, "embeddings")).where(col("vec_id") =!= 0),
+      "vec_id", "embedding", queryVec(s, dir), 10)
 
-  /** ANN over the bucket-partitioned LSH layout (the 100-TB path: the
-    * probe ball prunes bucket directories instead of scanning the corpus).
-    * The index build is memoized per (session, sf-dir). */
+  /** Bucket-partitioned LSH index, built once per (session, sf-dir) —
+    * shared by the pruned query and its exact-probe (*_full) checker so
+    * both read the SAME index (index parameters live here only). */
   private val annIndexMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def qAnnLshBucketed(s: SparkSession, dir: String): DataFrame = {
-    val path = annIndexMemo.computeIfAbsent(s.sparkContext.applicationId + dir, _ => {
+  private def lshIndex(s: SparkSession, dir: String): String =
+    annIndexMemo.computeIfAbsent(s.sparkContext.applicationId + dir, _ => {
       val p = newTempDir("graft-ann-index")
       Similarity.writeBucketed(
         s.read.parquet(t(dir, "embeddings")).where(col("vec_id") =!= 0),
         "vec_id", "embedding", p, planes = 8)
       p
     })
-    val q = s.read.parquet(t(dir, "embeddings")).where(col("vec_id") === 0)
-      .select(col("embedding").cast("array<double>"))
-      .head().getSeq[Double](0).toArray
-    Similarity.lshTopKBucketed(s, path, q, 10, planes = 8)
-  }
 
-  /** ANN over the IVF (k-means cell) partitioned layout — the trained
-    * coarse-quantizer alternative to the hash-plane buckets; the probe
-    * reads only the nprobe nearest cells' partitions. */
+  /** IVF (k-means cell) index, built once per (session, sf-dir) — shared
+    * by the pruned query and its exact-probe checker. */
   private val ivfMemo = new java.util.concurrent.ConcurrentHashMap[String, (String, Array[Array[Double]])]()
-  private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
-    val (path, centroids) = ivfMemo.computeIfAbsent(s.sparkContext.applicationId + dir, _ => {
+  private def ivfIndex(s: SparkSession, dir: String): (String, Array[Array[Double]]) =
+    ivfMemo.computeIfAbsent(s.sparkContext.applicationId + dir, _ => {
       val p = newTempDir("graft-ann-ivf")
       val c = Similarity.writeIvf(
         s.read.parquet(t(dir, "embeddings")).where(col("vec_id") =!= 0),
         "vec_id", "embedding", p, cells = 32, seed = 42L)
       (p, c)
     })
-    val q = s.read.parquet(t(dir, "embeddings")).where(col("vec_id") === 0)
-      .select(col("embedding").cast("array<double>"))
-      .head().getSeq[Double](0).toArray
-    Similarity.ivfTopK(s, path, centroids, q, 10, nprobe = 8)
+
+  /** ANN over the bucket-partitioned LSH layout (the 100-TB path: the
+    * probe ball prunes bucket directories instead of scanning the corpus). */
+  private def qAnnLshBucketed(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopKBucketed(s, lshIndex(s, dir), queryVec(s, dir), 10, planes = 8)
+
+  /** ANN over the IVF layout — the trained coarse-quantizer alternative to
+    * the hash-plane buckets; reads only the nprobe nearest cells. */
+  private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val (path, centroids) = ivfIndex(s, dir)
+    Similarity.ivfTopK(s, path, centroids, queryVec(s, dir), 10, nprobe = 8)
   }
 
   /** rank column matching bruteForceTopK's output shape (k rows only). */
@@ -330,35 +333,17 @@ object SparkEntry {
     * the SAME partitioned layout/plan shape, so the layout's results (not
     * just its plan) are driver-checked against the brute-force oracle. */
   private def qAnnIvfFull(s: SparkSession, dir: String): DataFrame = {
-    val (path, centroids) = ivfMemo.computeIfAbsent(s.sparkContext.applicationId + dir, _ => {
-      val p = newTempDir("graft-ann-ivf")
-      val c = Similarity.writeIvf(
-        s.read.parquet(t(dir, "embeddings")).where(col("vec_id") =!= 0),
-        "vec_id", "embedding", p, cells = 32, seed = 42L)
-      (p, c)
-    })
-    val q = s.read.parquet(t(dir, "embeddings")).where(col("vec_id") === 0)
-      .select(col("embedding").cast("array<double>"))
-      .head().getSeq[Double](0).toArray
-    withRank(Similarity.ivfTopK(s, path, centroids, q, 10, nprobe = centroids.length))
+    val (path, centroids) = ivfIndex(s, dir)
+    withRank(Similarity.ivfTopK(s, path, centroids, queryVec(s, dir), 10,
+      nprobe = centroids.length))
   }
 
   /** LSH-bucketed probe with the full hamming ball: every bucket probed =
     * the exact full scan over the bucket-partitioned layout — same oracle
     * as q_ann_brute. */
-  private def qAnnLshBucketedFull(s: SparkSession, dir: String): DataFrame = {
-    val path = annIndexMemo.computeIfAbsent(s.sparkContext.applicationId + dir, _ => {
-      val p = newTempDir("graft-ann-index")
-      Similarity.writeBucketed(
-        s.read.parquet(t(dir, "embeddings")).where(col("vec_id") =!= 0),
-        "vec_id", "embedding", p, planes = 8)
-      p
-    })
-    val q = s.read.parquet(t(dir, "embeddings")).where(col("vec_id") === 0)
-      .select(col("embedding").cast("array<double>"))
-      .head().getSeq[Double](0).toArray
-    withRank(Similarity.lshTopKBucketed(s, path, q, 10, planes = 8, hammingBall = 8))
-  }
+  private def qAnnLshBucketedFull(s: SparkSession, dir: String): DataFrame =
+    withRank(Similarity.lshTopKBucketed(s, lshIndex(s, dir), queryVec(s, dir), 10,
+      planes = 8, hammingBall = 8))
 
   /** META http-equiv charset scan (the reference's guessedCharset,
     * HTMLParser.java:467,691-736) over deterministic markup: the declared

@@ -824,10 +824,14 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
             when(coalesce(col("__wo"), lit(false)), hostDelayRef0).otherwise(col("nextFetch")))
           .drop("__wo")
         // lazy union with the (already lc'd) disallowed delta — the
-        // accumulated tombstone set is never re-materialized
-        val tombstonesNext = st.tombstones.unionByName(disLc)
+        // accumulated tombstone set is never re-materialized; fold the
+        // union chain when it gets long (same plan-size hygiene as the
+        // fetch path — a streak of zero-fetch disallowed rounds would
+        // otherwise grow it unboundedly)
+        val (tombstonesNext, tombPartsNext0) =
+          if (st.tombParts >= 32) (lc(st.tombstones.unionByName(disLc)), 1)
+          else (st.tombstones.unionByName(disLc), st.tombParts + 1)
         val tombRowsNext = st.tombRows + disRows
-        val tombPartsNext0 = st.tombParts + 1
         val headsNext0 =
           if (!cfg.incrementalHeads) null
           else {
@@ -1086,7 +1090,7 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
       () => {
         if (blooms.nonEmpty) {
           val r = parsedLinks.agg(count(lit(1)).as("c"),
-            bloom_agg(col("urlHash"), math.max(linksUpper, 1024L), 0.001).as("bf"))
+            bloom_agg(col("urlHash"), math.max(linksUpper, 1024L), Sieve.BatchBloomFpp).as("bf"))
             .collect()(0)
           dedupIn = r.getLong(0)
           val bb = if (r.isNullAt(1)) null else bloom_from_bytes(r.getAs[Array[Byte]](1))
@@ -1161,23 +1165,26 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
       },
       // seen append: ALL sieved urls (even budget-dropped ones are "seen"
       // — the reference sieve recorded them before append()'s budget
-      // re-check). The per-round DELTA bloom (sized by dedupIn, an upper
-      // bound on the delta) rides this write as an observed bloom_agg —
-      // fused, where a separate stat.bloomFilter pass cost its own job.
+      // re-check)
+      () => sievedInput.select("urlHash")
+        .write.mode(SaveMode.Overwrite).parquet(appendDir("seen", round)),
+      // per-round DELTA bloom (sized by dedupIn, an upper bound on the
+      // delta): a plain bloom_agg AGGREGATION job over the lc'd sieve
+      // output — partial filters merge executor-side through the
+      // aggregation exchange and ONE merged filter reaches the driver.
+      // (An Observation on the seen write was tried and reverted: observed
+      // metrics ship every task's full-size partial buffer in its task
+      // result, O(tasks x filterSize) to the driver — at cluster partition
+      // counts that exceeds maxResultSize; this shape scales, and the job
+      // overlaps the rank chain in this phase anyway.)
       () => {
-        val seenOut = sievedInput.select("urlHash")
-        if (wantDeltaBloom) {
-          val o = org.apache.spark.sql.Observation()
-          seenOut
-            .observe(o, bloom_agg(col("urlHash"), math.max(dedupIn, 1024L),
-              cfg.bloomFpp).as("bf"))
-            .write.mode(SaveMode.Overwrite).parquet(appendDir("seen", round))
-          val bytes = o.get("bf").asInstanceOf[Array[Byte]]
-          extendBloom(if (bytes == null) null else bloom_from_bytes(bytes), round)
-        } else {
-          seenOut.write.mode(SaveMode.Overwrite).parquet(appendDir("seen", round))
-          extendBloom(null, round)
-        }
+        if (wantDeltaBloom && dedupIn > 0) {
+          val r = sievedInput
+            .agg(bloom_agg(col("urlHash"), math.max(dedupIn, 1024L), cfg.bloomFpp))
+            .collect()(0)
+          extendBloom(if (r.isNullAt(0)) null
+            else bloom_from_bytes(r.getAs[Array[Byte]](0)), round)
+        } else extendBloom(null, round)
       })
 
     val frontierNext = st.frontier.unionByName(newDelta)

@@ -37,6 +37,12 @@ import org.apache.spark.util.sketch.BloomFilter
   */
 object Sieve {
 
+  /** fpp of the batch bloom that reverses the seen probe. Shared constant:
+    * the presentUpper broadcast bound in [[newUrlsScanProbe]] is computed
+    * from this SAME value, so a caller pre-building the filter (bloom_agg
+    * fusion) must size it with [[BatchBloomFpp]] or the bound is invalid. */
+  val BatchBloomFpp = 0.001
+
   /** Within-batch first-wins dedup + anti-join against `seen`, preserving
     * first-enqueue order via the explicit order columns.
     *
@@ -122,7 +128,7 @@ object Sieve {
       broadcastLimit: Long,
       candidateCount: Long,
       seenCount: Long = -1L,
-      batchFpp: Double = 0.001,
+      batchFpp: Double = BatchBloomFpp,
       prebuiltBatchBloom: BloomFilter = null): DataFrame = {
     val spark = candidates.sparkSession
     // batch bloom over ALL candidate hashes: one column-pruned scan of the
