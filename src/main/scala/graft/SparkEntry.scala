@@ -372,6 +372,13 @@ object SparkEntry {
       s.read.parquet(t(dir, "embeddings")).limit(2000), "vec_id", "embedding",
       planes = 6, minCosine = 0.2)
 
+  /** Coordinate-sign-bucketed near-dup pairs — the oracle-carrying
+    * variant of the family (bucket id and cosine are plain SQL). */
+  private def qEmbeddingNearDupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupPairsCoordSign(
+      s.read.parquet(t(dir, "embeddings")), "vec_id", "embedding",
+      planes = 6, minCosine = 0.2)
+
   private def qMediaFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = s.read.parquet(t(dir, "documents")).limit(1000)
@@ -479,6 +486,7 @@ object SparkEntry {
     "q_ann_ivf_full" -> (qAnnIvfFull(_, _)),
     "q_charset" -> (qCharset(_, _)),
     "q_embedding_neardup" -> (qEmbeddingNearDup(_, _)),
+    "q_embedding_neardup_exact" -> (qEmbeddingNearDupExact(_, _)),
     "q_media_features" -> (qMediaFeatures(_, _)),
     "q_parse_spans" -> (qParseSpans(_, _)),
     "q_graph_map" -> (qGraphMap(_, _)),
@@ -658,6 +666,22 @@ object SparkEntry {
     // full hamming ball degrade to the exact scan): same oracle as brute
     "q_ann_ivf_full" -> annBruteOracleSql,
     "q_ann_lsh_bucketed_full" -> annBruteOracleSql,
+    "q_embedding_neardup_exact" ->
+      """WITH v AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |b AS (
+        |  SELECT id, v,
+        |    (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END)
+        |  + (CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END)
+        |  + (CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END)
+        |  + (CASE WHEN v[5] >= 0 THEN 16 ELSE 0 END)
+        |  + (CASE WHEN v[6] >= 0 THEN 32 ELSE 0 END) AS bucket
+        |  FROM v)
+        |SELECT l.id AS id1, r.id AS id2,
+        |       list_cosine_similarity(l.v, r.v) AS cosine
+        |FROM b l JOIN b r ON l.bucket = r.bucket AND l.id < r.id
+        |WHERE list_cosine_similarity(l.v, r.v) >= 0.2""".stripMargin,
     "q_charset" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |  CASE WHEN doc_id % 4 = 0 THEN 'UTF-8'

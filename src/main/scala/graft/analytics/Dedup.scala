@@ -142,6 +142,22 @@ object Dedup {
       g => length(g) > 0)
   }
 
+  /** Same-bucket pair join + exact-cosine verification, shared by the
+    * bucketing variants. `maxBucketSize == Int.MaxValue` skips the skew
+    * cap (and its extra counting pass). */
+  private def cosinePairsInBuckets(v: DataFrame, bucket: Column,
+      minCosine: Double, maxBucketSize: Int): DataFrame = {
+    val withB = v.withColumn("bucket", bucket)
+    val sig =
+      if (maxBucketSize == Int.MaxValue) withB
+      else capBuckets(withB, Seq("bucket"), maxBucketSize)
+    sig.as("l").join(sig.as("r"),
+        col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"),
+        Similarity.cosine(col("l.v"), col("r.v")).as("cosine"))
+      .where(col("cosine") >= minCosine)
+  }
+
   /** Embedding-cosine near-duplicate pairs over an LSH bucketing by
     * random-hyperplane signs (cheap, deterministic). */
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
@@ -158,11 +174,21 @@ object Dedup {
       when(prods >= 0, lit(1)).otherwise(lit(0))
     }
     val sigExpr = (0 until planes).map(p => sgn(p) * (1 << p)).reduce(_ + _)
-    val sig = capBuckets(v.withColumn("bucket", sigExpr), Seq("bucket"), maxBucketSize)
-    sig.as("l").join(sig.as("r"),
-        col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("id1"), col("r.id").as("id2"),
-        Similarity.cosine(col("l.v"), col("r.v")).as("cosine"))
-      .where(col("cosine") >= minCosine)
+    cosinePairsInBuckets(v, sigExpr, minCosine, maxBucketSize)
+  }
+
+  /** Embedding near-dup pairs over COORDINATE-SIGN buckets: plane p is
+    * the axis-aligned hyperplane v[p] = 0, so the bucket id is plain
+    * column arithmetic (ANSI-SQL-expressible — this variant carries the
+    * family's DuckDB oracle; the hashed-hyperplane variant above is the
+    * production choice when coordinates are correlated). */
+  def embeddingNearDupPairsCoordSign(emb: DataFrame, idCol: String,
+      vecCol: String, planes: Int = 6, minCosine: Double = 0.95,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val v = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val bucket = (0 until planes).map(p =>
+      when(element_at(col("v"), p + 1) >= 0, lit(1L << p)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    cosinePairsInBuckets(v, bucket, minCosine, maxBucketSize)
   }
 }

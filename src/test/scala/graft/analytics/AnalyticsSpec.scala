@@ -111,6 +111,7 @@ class AnalyticsSpec extends AnyFunSuite {
       .toDF("vec_id", "embedding")
     val q = Array.fill(16)(rnd.nextGaussian())
     val dir = java.nio.file.Files.createTempDirectory("graft-ann-bucketed").toString
+    try {
     Similarity.writeBucketed(emb, "vec_id", "embedding", dir, planes = 4)
     val viaFilter = Similarity.lshTopK(emb, "vec_id", "embedding", q, 10, planes = 4)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
@@ -121,6 +122,7 @@ class AnalyticsSpec extends AnyFunSuite {
     val planStr = bucketed.queryExecution.executedPlan.toString
     assert(planStr.contains("PartitionFilters") && planStr.contains("bucket"),
       s"expected partition pruning in plan:\n$planStr")
+    } finally new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
   }
 
   test("IVF layout: full-probe equals brute force; pruned probe prunes partitions") {
@@ -130,6 +132,7 @@ class AnalyticsSpec extends AnyFunSuite {
       .toDF("vec_id", "embedding")
     val q = Array.fill(16)(rnd.nextGaussian())
     val dir = java.nio.file.Files.createTempDirectory("graft-ann-ivf").toString
+    try {
     val centroids = Similarity.writeIvf(emb, "vec_id", "embedding", dir, cells = 8, seed = 42L)
     assert(centroids.length == 8 && centroids.head.length == 16)
     // probing ALL cells degrades to the exact scan: equal to brute force
@@ -149,6 +152,7 @@ class AnalyticsSpec extends AnyFunSuite {
     val planStr = pruned.queryExecution.executedPlan.toString
     assert(planStr.contains("PartitionFilters") && planStr.contains("cell"),
       s"expected partition pruning on cell:\n$planStr")
+    } finally new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
   }
 
   test("LSH skew guard: a degenerate corpus (identical docs) stays bounded") {
