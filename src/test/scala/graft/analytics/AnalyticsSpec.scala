@@ -155,6 +155,30 @@ class AnalyticsSpec extends AnyFunSuite {
     } finally new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
   }
 
+  test("coordinate-sign near-dup pairs == brute-force same-bucket pairs above threshold") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val vecs = (1L to 120L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDupPairsCoordSign(emb, "vec_id", "embedding",
+        planes = 4, minCosine = 0.3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // brute-force expectation: same sign pattern on the first 4 coords,
+    // cosine >= threshold
+    def bucket(v: Array[Float]): Int =
+      (0 until 4).map(p => if (v(p) >= 0) 1 << p else 0).sum
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val dot = ad.zip(bd).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+    }
+    val expect = (for {
+      (i, vi) <- vecs; (j, vj) <- vecs
+      if i < j && bucket(vi) == bucket(vj) && cos(vi, vj) >= 0.3
+    } yield (i, j)).toSet
+    assert(got == expect)
+  }
+
   test("LSH skew guard: a degenerate corpus (identical docs) stays bounded") {
     import spark.implicits._
     // 3000 identical docs + 4 distinct: without the bucket cap every band
