@@ -114,6 +114,9 @@ case class CrawlConfig(
     /** compact the frontier (drop tombstoned rows) once this many
       * tombstones accumulate (WorkbenchVirtualizer.java:132-143 GC analog) */
     tombstoneCompactRows: Long = 2L << 20,
+    /** fold the lazy tombstone-delta union chain once it has this many
+      * parts (plan-size hygiene between compactions) */
+    tombstoneFoldParts: Int = 32,
     logRounds: Boolean = false,
     /** INCREMENTAL per-host heads maintenance (the 10^10-frontier mode):
       * selection reads a per-host top-K state table updated from the
@@ -829,7 +832,7 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
         // fetch path — a streak of zero-fetch disallowed rounds would
         // otherwise grow it unboundedly)
         val (tombstonesNext, tombPartsNext0) =
-          if (st.tombParts >= 32) (lc(st.tombstones.unionByName(disLc)), 1)
+          if (st.tombParts >= cfg.tombstoneFoldParts) (lc(st.tombstones.unionByName(disLc)), 1)
           else (st.tombstones.unionByName(disLc), st.tombParts + 1)
         val tombRowsNext = st.tombRows + disRows
         val headsNext0 =
@@ -1116,7 +1119,7 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
       () => {
         val deltaLc = lc(tombstoneDelta)
         val deltaRows = deltaLc.count() // cheap: counts the lc'd blocks
-        if (st.tombParts >= 32) {
+        if (st.tombParts >= cfg.tombstoneFoldParts) {
           // plan-size hygiene: fold a long union chain (politeness-heavy
           // crawls accumulate many small deltas between compactions)
           tombstonesNext = lc(st.tombstones.unionByName(deltaLc))

@@ -63,6 +63,22 @@ class CrawlerSpec extends AnyFunSuite {
     assert(collectTrace(c1) == collectTrace(c2))
   }
 
+  test("aggressive compaction + tombstone fold + bloom consolidation preserve the crawl") {
+    val d1 = tempDir("gcAggressive")
+    val d2 = tempDir("gcDefault")
+    // every state-GC path fires constantly: tombstone compaction every ~50
+    // rows, delta-union fold at 2 parts, bloom bank consolidated (and the
+    // dropped broadcasts unpersisted) every 2 deltas — all performance-
+    // shape knobs, so the crawl must be byte-identical to the default
+    val c1 = new Crawler(spark, d1, cfg.copy(
+      useBloom = true, bloomMinSeen = 1L, bloomExpected = 4096L, bloomMaxDeltas = 2,
+      tombstoneCompactRows = 50L, tombstoneFoldParts = 2,
+      checkpointEvery = 99, maxRounds = 5))
+    val c2 = new Crawler(spark, d2, cfg.copy(maxRounds = 5))
+    c1.run(); c2.run()
+    assert(collectTrace(c1) == collectTrace(c2))
+  }
+
   test("resume from snapshot checkpoint continues identically") {
     val dFull = tempDir("full")
     val dSplit = tempDir("split")
