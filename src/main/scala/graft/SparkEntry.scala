@@ -367,9 +367,11 @@ object SparkEntry {
       }.toDF("doc_id", "guessed_charset")
   }
 
+  // full-width (r4 ran .limit(2000)): the bucketed self-join is skew-capped
+  // (capBuckets) and bound-tested, so the driver exercises the whole table
   private def qEmbeddingNearDup(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDupPairs(
-      s.read.parquet(t(dir, "embeddings")).limit(2000), "vec_id", "embedding",
+      s.read.parquet(t(dir, "embeddings")), "vec_id", "embedding",
       planes = 6, minCosine = 0.2)
 
   /** Coordinate-sign-bucketed near-dup pairs — the oracle-carrying
@@ -379,9 +381,11 @@ object SparkEntry {
       s.read.parquet(t(dir, "embeddings")), "vec_id", "embedding",
       planes = 6, minCosine = 0.2)
 
+  // full-width (r4 ran .limit(1000)): the batched-feature contract is
+  // bound-tested; the mapInPandas-shaped plumbing sees the whole table
   private def qMediaFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = s.read.parquet(t(dir, "documents")).limit(1000)
+    val docs = s.read.parquet(t(dir, "documents"))
       .select(col("doc_id").cast("string").as("doc_id"),
         array(struct(lit("media").as("kind"), lit("").as("text"),
           concat(lit("http://m.example/img"), col("doc_id")).as("media_ref"),
@@ -455,6 +459,54 @@ object SparkEntry {
   private def qMediaEdges(s: SparkSession, dir: String): DataFrame =
     analytics.StoreQuery.mediaEdges(miniCrawl(s).docs())
 
+  // ---- constructed-input twins of the crawl-output analytics ----
+  // The mini-crawl queries above exercise the operators over the engine's
+  // own store (rows-only; the engine is oracle-checked by CrawlerSpec);
+  // these run the SAME analytics functions over tables deterministically
+  // derived from events/documents, so their results get full DuckDB
+  // oracles (the q_span_digest / q_parse_spans pattern).
+
+  /** queueSizeHistogram over a constructed frontier (hostHash from events). */
+  private def qQueueHistogramSynth(s: SparkSession, dir: String): DataFrame =
+    analytics.CrawlStats.queueSizeHistogram(
+      s.read.parquet(t(dir, "events")).select((col("user_id") % 97).as("hostHash")))
+
+  /** speedHistogram over a constructed docs table: schemeAuthority and
+    * round are pure functions of doc_id, bytes = span text length. */
+  private def qSpeedHistogramSynth(s: SparkSession, dir: String): DataFrame =
+    analytics.CrawlStats.speedHistogram(
+      s.read.parquet(t(dir, "documents")).select(
+        concat(lit("http://d"), (col("doc_id") % 50).cast("string"),
+          lit(".example")).as("schemeAuthority"),
+        (col("doc_id") % 4).cast("int").as("round"),
+        array(struct(lit("text").as("kind"), col("text").as("text"),
+          lit("").as("media_ref"), lit(0).as("offset"))).as("spans")))
+
+  /** mediaEdges over constructed docs: page URL and media ref are pure
+    * functions of doc_id, so the host edge graph is plain SQL while the
+    * Spark side runs the real span-explode + burl_host extraction. */
+  private def qMediaEdgesSynth(s: SparkSession, dir: String): DataFrame =
+    analytics.StoreQuery.mediaEdges(
+      s.read.parquet(t(dir, "documents")).select(
+        concat(lit("http://d"), (col("doc_id") % 20).cast("string"),
+          lit(".example/p"), col("doc_id").cast("string")).as("doc_id"),
+        array(
+          struct(lit("media").as("kind"), lit("").as("text"),
+            concat(lit("http://m"), (col("doc_id") % 7).cast("string"),
+              lit(".example/img"), col("doc_id").cast("string"), lit(".jpg"))
+              .as("media_ref"), lit(0).as("offset")),
+          struct(lit("text").as("kind"), col("text").as("text"),
+            lit("").as("media_ref"), lit(1).as("offset"))).as("spans")))
+
+  /** archetypes over a constructed duplicate-bearing store: digest groups
+    * doc_ids mod 100, store order (round, doc_id) picks the archetype. */
+  private def qStoreArchetypesSynth(s: SparkSession, dir: String): DataFrame =
+    analytics.StoreQuery.archetypes(
+      s.read.parquet(t(dir, "documents")).select(
+        col("doc_id"),
+        (col("doc_id") % 4).cast("int").as("round"),
+        concat(lit("dg"), (col("doc_id") % 100).cast("string")).as("digest")))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sieve_first_seen" -> (qSieveFirstSeen(_, _)),
     "q_politeness_rank" -> (qPolitenessRank(_, _)),
@@ -495,7 +547,11 @@ object SparkEntry {
     "q_store_archetypes" -> (qStoreArchetypes(_, _)),
     "q_crawl_progress" -> (qCrawlProgress(_, _)),
     "q_queue_histogram" -> (qQueueHistogram(_, _)),
-    "q_media_edges" -> (qMediaEdges(_, _))
+    "q_media_edges" -> (qMediaEdges(_, _)),
+    "q_queue_histogram_synth" -> (qQueueHistogramSynth(_, _)),
+    "q_speed_histogram_synth" -> (qSpeedHistogramSynth(_, _)),
+    "q_media_edges_synth" -> (qMediaEdgesSynth(_, _)),
+    "q_store_archetypes_synth" -> (qStoreArchetypesSynth(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -687,7 +743,39 @@ object SparkEntry {
         |  CASE WHEN doc_id % 4 = 0 THEN 'UTF-8'
         |       WHEN doc_id % 4 = 2 THEN 'windows-1252'
         |       ELSE 'ISO-8859-1' END AS guessed_charset
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "q_queue_histogram_synth" ->
+      """SELECT CAST(floor(log2(queue_len)) AS INT) AS log2_bin,
+        |       count(*) AS n_hosts
+        |FROM (SELECT user_id % 97 AS hostHash, count(*) AS queue_len
+        |      FROM events GROUP BY 1)
+        |GROUP BY 1""".stripMargin,
+    "q_speed_histogram_synth" ->
+      """SELECT CAST(floor(log2(greatest(bytes_per_round, 1))) AS INT) AS log2_bps,
+        |       count(*) AS n_host_rounds,
+        |       CAST(sum(bytes_per_round) AS BIGINT) AS total_bytes
+        |FROM (SELECT doc_id % 50 AS sa, doc_id % 4 AS round,
+        |             CAST(sum(length(text)) AS BIGINT) AS bytes_per_round
+        |      FROM documents GROUP BY 1, 2)
+        |GROUP BY 1""".stripMargin,
+    "q_media_edges_synth" ->
+      """SELECT 'd' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS src_host,
+        |       'm' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS dst_host,
+        |       count(*) AS "count"
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+    "q_store_archetypes_synth" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 4 AS round,
+        |         'dg' || CAST(doc_id % 100 AS VARCHAR) AS digest
+        |  FROM documents),
+        |f AS (
+        |  SELECT digest, doc_id AS arch FROM (
+        |    SELECT digest, doc_id,
+        |           row_number() OVER (PARTITION BY digest ORDER BY round, doc_id) AS rn
+        |    FROM d) WHERE rn = 1)
+        |SELECT d.doc_id, d.digest, f.arch AS archetype,
+        |       d.doc_id <> f.arch AS is_duplicate_of_archetype
+        |FROM d JOIN f USING (digest)""".stripMargin
   )
 
   private val annBruteOracleSql =

@@ -247,9 +247,23 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
   // bloom_agg (the fused filter builds) is clamped by the runtime-filter
   // size caps (default 4M items / 67M bits — far below a crawl's
   // per-round deltas); raise them so the fused filters keep their sized
-  // fpp instead of silently degrading
-  spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", (256L << 20).toString)
-  spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", (8L << 30).toString)
+  // fpp instead of silently degrading. The caps also govern Spark's own
+  // InjectRuntimeFilter for every query on the session, so the raise is
+  // SCOPED to run() (set before the first round, restored after the last)
+  // rather than left session-wide for harness-shared sessions.
+  private val bloomCapKeys = Seq(
+    "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> (256L << 20).toString,
+    "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> (8L << 30).toString)
+  private def withRaisedBloomCaps[T](body: => T): T = {
+    val prev = bloomCapKeys.map { case (k, v) =>
+      val old = spark.conf.getOption(k); spark.conf.set(k, v); k -> old
+    }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 
   private val stateLevel = org.apache.spark.storage.StorageLevel.fromString(cfg.stateStorage)
   private def lc(df: DataFrame): DataFrame = df.localCheckpoint(true, stateLevel)
@@ -1070,10 +1084,13 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
             col("digest"), col("status"), col("is_duplicate"), col("truncated"),
             col("guessedCharset").as("guessed_charset"),
             size(coalesce(col("links"), array())).as("n_links"),
-            // external outdegree: links whose host differs from the page's
-            // (ParsingThread.java:386-389 — counted over successfully
-            // parsed URIs only, so unparseable-host links (null) are
-            // excluded; `=!=` is null-false, which does exactly that)
+            // external outdegree: links whose host differs from the page's.
+            // DELIBERATE DEVIATION from ParsingThread.java:386-389, which
+            // counts a null-host (unparseable-host) link as external
+            // (!currentHost.equals(null-host) is true); here `=!=` is
+            // null-false, so such links are EXCLUDED — chosen for ANSI-SQL
+            // oracle expressibility (null-safe inequality round-trips
+            // through DuckDB; the reference's null-is-external does not)
             size(filter(coalesce(col("links"), array()),
               l => burl_host(l) =!= burl_host(col("url"))))
               .as("n_links_ext")) // round = partition dir
@@ -1362,7 +1379,7 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
     * for the fixed-cost-vs-round-size analysis. */
   val roundWalls = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
 
-  def run(): Int = {
+  def run(): Int = withRaisedBloomCaps {
     var round = lastCompleteRound()
     if (round < 0) { init(); round = 0 }
     var executed = 0

@@ -154,6 +154,15 @@ object Sieve {
     // the broadcast exchange inside the anti-join evaluates the seen scan
     // exactly once, and the whole sieve tail is ONE job instead of three
     // (materialize present, count present, anti-join).
+    // the |present| bound below assumes the batch bloom was sized for (at
+    // least) this batch at `batchFpp` — enforce the doc-comment contract on
+    // caller-prebuilt filters, or an undersized filter would silently
+    // invalidate the bound and oversize the broadcast
+    require(prebuiltBatchBloom == null ||
+      prebuiltBatchBloom.bitSize() >=
+        BloomFilter.optimalNumOfBits(math.max(candidateCount, 1024L), batchFpp),
+      s"prebuiltBatchBloom undersized: ${prebuiltBatchBloom.bitSize()} bits < " +
+        s"optimal for $candidateCount items at fpp=$batchFpp")
     val presentUpper =
       if (seenCount < 0) Long.MaxValue
       else candidateCount + math.ceil(seenCount * batchFpp).toLong
