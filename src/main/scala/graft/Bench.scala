@@ -61,7 +61,26 @@ object Bench {
     logRounds = true,
     stateStorage = "DISK_ONLY") // tmpfs-backed blocks: off the JVM heap
 
-  private def crawlBench(threads: Int, scale: Int): (Double, Long, Double, String, Long) = {
+  /** One measured crawl run. `throttled` = the run's own roundWalls show a
+    * mid-run hypervisor slowdown (see [[isThrottled]]). */
+  case class CrawlRun(rate: Double, processed: Long, wall: Double, chk: String,
+    traceRows: Long, roundWalls: Seq[(Int, Long, Double)], throttled: Boolean)
+
+  /** Detect mid-run hypervisor throttling from the run's own telemetry:
+    * round 2 (the first full-width round; round 1 is seeds + codegen
+    * warmup) sets the healthy per-URL pace, and any later round running
+    * >2.5× slower per URL marks the run throttled. The identical crawl's
+    * healthy rounds stay within ~1.3× of round 2 (BASELINE.md round-size
+    * table); the BENCH_r04 throttle window ran rounds 3-4 at ~8×. */
+  def isThrottled(roundWalls: Seq[(Int, Long, Double)]): Boolean = {
+    val byRound = roundWalls.filter(_._2 > 0).sortBy(_._1)
+    if (byRound.size < 2) return false
+    val ref = byRound(1)
+    val refPace = ref._3 / ref._2
+    byRound.drop(2).exists { case (_, urls, wall) => wall / urls > 2.5 * refPace }
+  }
+
+  private def crawlBench(threads: Int, scale: Int): CrawlRun = {
     val spark = session(threads)
     try {
       // workDir on tmpfs: the per-round seen/trace/metrics appends are on
@@ -89,7 +108,9 @@ object Bench {
         import scala.reflect.io.Directory
         new Directory(new java.io.File(work)).deleteRecursively()
       } catch { case _: Exception => () }
-      (processed / wall, processed, wall, chk, traceRows)
+      val walls = crawler.roundWalls.toSeq
+      CrawlRun(processed / wall, processed, wall, chk, traceRows, walls,
+        isThrottled(walls))
     } finally spark.stop()
   }
 
@@ -217,12 +238,33 @@ object Bench {
       calibrateMemDependentOnce(threads, 16000000L, 48 << 20, 0x9e3779b9L)).max
   }
 
+  /** Time each query's full evaluation (count action). A query that THROWS
+    * is recorded with its error (class: message), never as a plausible wall
+    * time — a broken query must be visible in the BENCH output as an
+    * error, not a fast number (BenchSpec checks the forced-failure path). */
+  def timeQueries(spark: SparkSession, sfDir: String,
+      qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])
+      : Seq[(String, Double, Option[String])] =
+    qs.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val err =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+        }
+      (name, (System.nanoTime() - t0) / 1e9, err)
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    // scale 2 = 200k seeds, ~40M URLs scheduled+deduped: rounds big enough
-    // that distributed work dominates the per-round job-latency floor
-    val scale = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE", "2").toInt
+    // scale 1 = 100k seeds, ~18M URLs scheduled+deduped: rounds still big
+    // enough that distributed work dominates the per-round job-latency
+    // floor (burst-8-vs-32 probe, BASELINE.md), while the full symmetric
+    // best-of-2 protocol (4 runs) fits the time budget even on a degraded
+    // box — r4's scale=2 forced the asymmetric 1-run fallback exactly when
+    // the window was worst, producing an uninterpretable headline
+    val scale = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE", "1").toInt
     // N vs 4N parallelism pair (BASELINE two-cluster-size criterion);
     // both levels should sit inside the box's linear-scaling region —
     // `calibrate` reports what that region even allows (4->16 is this
@@ -234,18 +276,15 @@ object Bench {
 
     // ---- part 1: per-query timings (skippable for frontier-only runs) ----
     val results =
-      if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) Seq.empty[(String, Double)]
+      if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY"))
+        Seq.empty[(String, Double, Option[String])]
       else {
         val spark = session(cpus)
         // crawl-engine queries are benched below as the frontier run
         val skip = Set("q_crawl_e2e", "q_store_archetypes", "q_crawl_progress",
           "q_queue_histogram", "q_media_edges", "q_graph_map", "q_speed_histogram")
-        val r = SparkEntry.queries.toSeq.sortBy(_._1).collect {
-          case (name, fn) if !skip(name) =>
-            val t0 = System.nanoTime()
-            try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-            name -> (System.nanoTime() - t0) / 1e9
-        }
+        val r = timeQueries(spark, sfDir,
+          SparkEntry.queries.toSeq.sortBy(_._1).filterNot(q => skip(q._1)))
         SparkEntry.cleanupTempDirs() // ANN-index / mini-crawl memo dirs
         spark.stop()
         r
@@ -265,40 +304,72 @@ object Bench {
     val memCacheHi = calibrateMemCache(nHi)
     val memCacheEff = (memCacheHi / memCacheLo) / (nHi.toDouble / nLo)
     // the hypervisor's CPU delivery fluctuates run-to-run and degrades
-    // under sustained load (±30% observed, worst on the last runs of a
-    // sequence). SYMMETRIC protocol: best-of-2 at EACH level, interleaved
-    // lo-hi-hi-lo so each level gets one early and one late slot — no
-    // level is favored by the selection rule (disclosed in BENCH.md).
-    // Crawl equality is asserted across all four runs.
+    // under sustained load (±30% observed, ~8× in the worst recorded
+    // window — BENCH_r04). Protocol, robust to throttled windows:
+    //  1. one run per level, order lo-hi;
+    //  2. the symmetric second pair (hi-lo) runs as a UNIT if it fits the
+    //     budget — each level then holds one early and one late slot, and
+    //     the selection rule favors no level. (Running only hi2 would let
+    //     a best-of-2 hi face a single-slot lo, which can inflate.)
+    //  3. a level whose EVERY run is self-detected throttled (roundWalls
+    //     pace test, [[isThrottled]]) has no clean measurement: re-run it
+    //     once while budget remains, else the JSON carries throttled=true
+    //     so the headline is labeled as a box artifact, not an engine
+    //     measurement.
+    // Crawl equality is asserted across all runs at both levels.
     val pairStart = System.nanoTime()
-    val lo1 = crawlBench(nLo, scale)
-    val hi1 = crawlBench(nHi, scale)
-    // time-budget guard: on a heavily throttled box the second pair could
-    // push the whole bench past an external timeout — degrade to one run
-    // per level. That degraded protocol is ASYMMETRIC (one slot each), but
-    // with lo first the LATE (degraded) slot lands on the HI level, which
-    // deflates — never inflates — the reported scaling efficiency.
-    val pairSec = (System.nanoTime() - pairStart) / 1e9
-    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIR_BUDGET_SEC", "500").toDouble
-    val (hiRuns, loRuns) =
-      if (pairSec > budget) (Seq(hi1), Seq(lo1))
-      else {
-        val hi2 = crawlBench(nHi, scale)
-        val lo2 = crawlBench(nLo, scale)
-        (Seq(hi1, hi2), Seq(lo1, lo2))
-      }
-    val (rateHi, processedHi, wallHi, chkHi, rowsHi) = hiRuns.minBy(_._3)
-    val (rateLo, processedLo, wallLo, chkLo, rowsLo) = loRuns.minBy(_._3)
+    def elapsed = (System.nanoTime() - pairStart) / 1e9
+    // 750 s for the crawl section: at scale=1 the full symmetric 4-run
+    // protocol measures ~550-650 s even on a partly degraded box (r5
+    // local: lo 181.5 + hi 86.0 per pair), and the whole bench stays
+    // under r4's 986 s total; 500 s forced the asymmetric fallback on
+    // exactly the windows where symmetry mattered most
+    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIR_BUDGET_SEC", "750").toDouble
+    val loRuns = scala.collection.mutable.ArrayBuffer(crawlBench(nLo, scale))
+    val hiRuns = scala.collection.mutable.ArrayBuffer(crawlBench(nHi, scale))
+    val symmetric = elapsed + hiRuns.head.wall + loRuns.head.wall <= budget
+    if (symmetric) {
+      hiRuns += crawlBench(nHi, scale)
+      loRuns += crawlBench(nLo, scale)
+    }
+    var rescued = 0
+    if (hiRuns.forall(_.throttled) && elapsed + hiRuns.map(_.wall).min <= budget) {
+      hiRuns += crawlBench(nHi, scale); rescued += 1
+    }
+    if (loRuns.forall(_.throttled) && elapsed + loRuns.map(_.wall).min <= budget) {
+      loRuns += crawlBench(nLo, scale); rescued += 1
+    }
+    // best CLEAN wall per level; only if a level has no clean run at all
+    // does a throttled wall become the number of record (flagged below)
+    def best(rs: Seq[CrawlRun]): CrawlRun = {
+      val clean = rs.filterNot(_.throttled)
+      (if (clean.nonEmpty) clean else rs).minBy(_.wall)
+    }
+    val bHi = best(hiRuns.toSeq)
+    val bLo = best(loRuns.toSeq)
+    val throttled = bHi.throttled || bLo.throttled
     val identical = (hiRuns ++ loRuns).forall(h =>
-      chkLo == h._4 && rowsLo == h._5 && processedLo == h._2)
-    val efficiency = (wallLo / wallHi) / (nHi.toDouble / nLo)
-    val wallsJson = (lbl: String, rs: Seq[(Double, Long, Double, String, Long)]) =>
-      s""""$lbl":[${rs.map(r => f"${r._3}%.1f").mkString(",")}]"""
+      bLo.chk == h.chk && bLo.traceRows == h.traceRows && bLo.processed == h.processed)
+    val efficiency = (bLo.wall / bHi.wall) / (nHi.toDouble / nLo)
+    val wallsJson = (lbl: String, rs: Seq[CrawlRun]) =>
+      s""""$lbl":[${rs.map(r => f"${r.wall}%.1f").mkString(",")}]"""
+    val flagsJson = (lbl: String, rs: Seq[CrawlRun]) =>
+      s""""$lbl":[${rs.map(_.throttled).mkString(",")}]"""
+    val roundWallsJson = (lbl: String, r: CrawlRun) =>
+      s""""$lbl":[${r.roundWalls.map(w => f"${w._3}%.1f").mkString(",")}]"""
+    val selection =
+      (if (symmetric) "best clean wall of 2 per level, symmetric, order lo-hi-hi-lo"
+       else "1 run per level, order lo-hi (degraded: budget; late slot on hi deflates efficiency)") +
+      (if (rescued > 0) s" + $rescued throttle-recovery rerun(s)" else "")
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val qs = results.collect { case (k, v, None) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val qErrs = results.collect { case (k, _, Some(e)) =>
+      "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
+      .mkString("{", ",", "}")
     val totalQuerySec = results.map(_._2).sum
     val json =
-      f"""{"metric":"frontier_urls_scheduled_deduped_per_sec","value":$rateHi%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","total_query_sec":$totalQuerySec%.2f,"frontier":{"levels":[$nLo,$nHi],"local${nLo}_urls_per_sec":$rateLo%.1f,"local${nHi}_urls_per_sec":$rateHi%.1f,"scaling_efficiency":$efficiency%.3f,"cpu_calibration_efficiency":$calibEff%.3f,"mem_calibration_efficiency":$memEff%.3f,"mem_random_calibration_efficiency":$memRndEff%.3f,"mem_llc_calibration_efficiency":$memCacheEff%.3f,"urls_processed":$processedHi,"urls_processed_lo":$processedLo,"wall_lo_sec":$wallLo%.1f,"wall_hi_sec":$wallHi%.1f,${wallsJson("wall_lo_runs", loRuns)},${wallsJson("wall_hi_runs", hiRuns)},"selection":"${if (hiRuns.size > 1) "best-of-2 per level, symmetric, order lo-hi-hi-lo" else "1 run per level, order lo-hi (asymmetric degraded protocol; late slot on hi deflates efficiency)"}","identical_crawl":$identical}}"""
+      f"""{"metric":"frontier_urls_scheduled_deduped_per_sec","value":${bHi.rate}%.1f,"unit":"urls/sec","queries":$qs,"query_errors":$qErrs,"sf":"$sfDir","total_query_sec":$totalQuerySec%.2f,"frontier":{"levels":[$nLo,$nHi],"local${nLo}_urls_per_sec":${bLo.rate}%.1f,"local${nHi}_urls_per_sec":${bHi.rate}%.1f,"scaling_efficiency":$efficiency%.3f,"throttled":$throttled,"cpu_calibration_efficiency":$calibEff%.3f,"mem_calibration_efficiency":$memEff%.3f,"mem_random_calibration_efficiency":$memRndEff%.3f,"mem_llc_calibration_efficiency":$memCacheEff%.3f,"urls_processed":${bHi.processed},"urls_processed_lo":${bLo.processed},"wall_lo_sec":${bLo.wall}%.1f,"wall_hi_sec":${bHi.wall}%.1f,${wallsJson("wall_lo_runs", loRuns.toSeq)},${wallsJson("wall_hi_runs", hiRuns.toSeq)},${flagsJson("throttled_lo_runs", loRuns.toSeq)},${flagsJson("throttled_hi_runs", hiRuns.toSeq)},${roundWallsJson("round_walls_lo", bLo)},${roundWallsJson("round_walls_hi", bHi)},"selection":"$selection","identical_crawl":$identical}}"""
     println(json)
 
     val md =
@@ -312,19 +383,25 @@ object Bench {
          |HtmlParser) executed at local[$nLo] and local[$nHi] in one JVM
          |sequence — the sandbox stand-in for N vs 4N executor clusters.
          |
-         |Selection rule: ${hiRuns.size} run(s) per level, interleaved
-         |lo-hi[-hi-lo] (each level gets one early and one late slot
-         |against hypervisor degradation), best wall per level — SYMMETRIC
-         |across levels. If the time budget forces one run per level, that
-         |degraded protocol is asymmetric: the late (degraded) slot lands
-         |on the hi level, which can only DEFLATE the reported efficiency.
-         |All walls: hi=[${hiRuns.map(r => f"${r._3}%.1f").mkString(", ")}]s,
-         |lo=[${loRuns.map(r => f"${r._3}%.1f").mkString(", ")}]s.
+         |Selection rule: $selection. A run is self-detected THROTTLED when
+         |its own per-round telemetry shows a later round running >2.5x
+         |slower per URL than the same run's round 2 (the BENCH_r04 failure
+         |mode: a mid-sequence hypervisor slowdown ran rounds 3-4 at ~8x and
+         |produced a 4x-deflated headline); the best CLEAN wall per level is
+         |the number of record, a throttle-recovery rerun triggers when a
+         |level has no clean run, and throttled=${throttled} below says
+         |whether the recorded numbers still include a throttled level.
+         |All walls: hi=[${hiRuns.map(r => f"${r.wall}%.1f").mkString(", ")}]s
+         |(throttled: ${hiRuns.map(_.throttled).mkString(", ")}),
+         |lo=[${loRuns.map(r => f"${r.wall}%.1f").mkString(", ")}]s
+         |(throttled: ${loRuns.map(_.throttled).mkString(", ")}).
+         |Selected runs' round walls: lo=[${bLo.roundWalls.map(w => f"${w._3}%.1f").mkString(", ")}]s,
+         |hi=[${bHi.roundWalls.map(w => f"${w._3}%.1f").mkString(", ")}]s.
          |
          || parallelism | URLs scheduled+deduped | wall (s) | throughput (urls/sec) |
          ||---|---|---|---|
-         || local[$nLo]  | $processedLo | $wallLo%.1f | $rateLo%.1f |
-         || local[$nHi] | $processedHi | $wallHi%.1f | $rateHi%.1f |
+         || local[$nLo]  | ${bLo.processed} | ${bLo.wall}%.1f | ${bLo.rate}%.1f |
+         || local[$nHi] | ${bHi.processed} | ${bHi.wall}%.1f | ${bHi.rate}%.1f |
          |
          |**Scaling efficiency (T$nLo/T$nHi)/($nHi/$nLo) = $efficiency%.3f** (target >= 0.8).
          |Machine calibration, same plain-JVM murmur hashing at $nLo vs $nHi threads:

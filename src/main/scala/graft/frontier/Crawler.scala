@@ -283,6 +283,27 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
     fs.foreach(Await.result(_, Duration.Inf))
   }
 
+  /** Dependency-driven overlap: run `gate` on the calling thread while the
+    * `independent` actions run concurrently; the moment `gate` completes,
+    * start `dependents` (which consume the gate's output) WITHOUT waiting
+    * for the independent branches. The r4 two-phase barrier made the
+    * rank/seen/bloom branches (which need only the sieve output) wait for
+    * the docs sink, host-state, and tombstone branches as well — every
+    * phase tail ran one branch alone while the rest of the executor sat
+    * idle; this removes the barrier that caused it. Output data is
+    * unchanged (branches share only already-materialized caches, and
+    * dependents are submitted by the thread that ran the gate). */
+  private def inParallelStaged(independent: Seq[() => Unit], gate: () => Unit,
+      dependents: Seq[() => Unit]): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = Crawler.actionPool
+    val indep = independent.map(t => Future(t()))
+    gate()
+    val deps = dependents.map(t => Future(t()))
+    (indep ++ deps).foreach(Await.result(_, Duration.Inf))
+  }
+
   private val fs = org.apache.hadoop.fs.FileSystem.get(
     new java.net.URI(workDir), spark.sparkContext.hadoopConfiguration)
 
@@ -1050,18 +1071,24 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
       case l: java.lang.Long => (l.longValue(), obsRow("hi").asInstanceOf[Long])
     }
 
-    // --- overlapped phase 1: sinks + link batch + SIEVE CHAIN + host/tomb
-    // state folds. These are independent DAG branches; the sieve chain is
-    // internally sequential (materialize -> count -> bloom -> anti-join),
-    // so running it ALONE left cores idle at every one of its barriers —
-    // the concurrent branches keep the executor fed (the r3 occupancy
-    // probe measured 69% at 16 threads vs 82% at 4; this phase structure
-    // is the fix) ---
+    // --- overlapped round tail, DEPENDENCY-driven (no phase barrier):
+    // the sinks, host/tomb state folds, and the SIEVE CHAIN are mutually
+    // independent DAG branches; the rank chain, seen append, and delta
+    // bloom need ONLY the materialized sieve output. r3/r4 ran these as
+    // two barriered phases, so the rank/seen/bloom start also waited on
+    // the docs sink and the state folds — each phase tail ran its longest
+    // branch alone while the rest of the executor idled (the r4 floor
+    // decomposition pins occupancy — 0.64 at 16t vs 0.84 at 4t — as the
+    // one engine-controllable efficiency term). Here the dependents
+    // launch the moment the sieve gate completes. ---
     var sievedInput: DataFrame = null
     var tombstonesNext: DataFrame = null
     var tombRowsNext = 0L
     var tombPartsNext = 0
-    inParallel(
+    var sieved: DataFrame = null
+    var sieveOut = 0L
+    var newDelta: DataFrame = null
+    inParallelStaged(independent = Seq(
       // (the trace sink already ran — it doubles as the fetch-cache
       // materialization job, with the round scalars observed on it)
       // robots store sink (the robots WARC stream,
@@ -1101,32 +1128,6 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
         }
         newDigests.write.mode(SaveMode.Overwrite).parquet(appendDir("digests", round))
       },
-      // link batch + sieve: the seen store is only ever SCANNED, never
-      // shuffled/sorted/broadcast (scan-probe; the r2 SMJ path re-shuffled
-      // all accumulated seen hashes every round). The candidate count and
-      // the batch bloom come out of ONE aggregation over the link cache
-      // (bloom_agg riding the count job) — separately they cost two full
-      // passes over the widest per-round stream.
-      () => {
-        if (blooms.nonEmpty) {
-          val r = parsedLinks.agg(count(lit(1)).as("c"),
-            bloom_agg(col("urlHash"), math.max(linksUpper, 1024L), Sieve.BatchBloomFpp).as("bf"))
-            .collect()(0)
-          dedupIn = r.getLong(0)
-          val bb = if (r.isNullAt(1)) null else bloom_from_bytes(r.getAs[Array[Byte]](1))
-          sievedInput = Sieve.newUrlsScanProbe(parsedLinks, seen,
-            Seq("parentSeq", "linkIdx"), blooms, lc,
-            broadcastLimit = cfg.probeThreshold,
-            candidateCount = dedupIn, seenCount = maxSeq,
-            prebuiltBatchBloom = bb)
-        } else {
-          dedupIn = parsedLinks.count()
-          sievedInput = Sieve
-            .newUrls(parsedLinks, seen, Seq("parentSeq", "linkIdx"), Nil,
-              broadcastProbe = dedupIn <= cfg.probeThreshold)
-            .transform(lc)
-        }
-      },
       // host-state update (materializes the hostsU cache + hostAgg
       // broadcast) and the tombstone DELTA fold — both independent of the
       // sieve. Only the per-round delta (∝ burst) is materialized; the
@@ -1146,15 +1147,37 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
           tombPartsNext = st.tombParts + 1
         }
         tombRowsNext = st.tombRows + deltaRows
-      })
-
-    // --- overlapped phase 2: rank assignment + frontier delta (the
-    // sequential rank chain) alongside the seen append and the delta
-    // bloom, which need only the materialized sieve output ---
-    var sieved: DataFrame = null
-    var sieveOut = 0L
-    var newDelta: DataFrame = null
-    inParallel(
+      }),
+      // link batch + sieve (the GATE): the seen store is only ever
+      // SCANNED, never shuffled/sorted/broadcast (scan-probe; the r2 SMJ
+      // path re-shuffled all accumulated seen hashes every round). The
+      // candidate count and the batch bloom come out of ONE aggregation
+      // over the link cache (bloom_agg riding the count job) — separately
+      // they cost two full passes over the widest per-round stream.
+      gate = () => {
+        if (blooms.nonEmpty) {
+          val r = parsedLinks.agg(count(lit(1)).as("c"),
+            bloom_agg(col("urlHash"), math.max(linksUpper, 1024L), Sieve.BatchBloomFpp).as("bf"))
+            .collect()(0)
+          dedupIn = r.getLong(0)
+          val bb = if (r.isNullAt(1)) null else bloom_from_bytes(r.getAs[Array[Byte]](1))
+          sievedInput = Sieve.newUrlsScanProbe(parsedLinks, seen,
+            Seq("parentSeq", "linkIdx"), blooms, lc,
+            broadcastLimit = cfg.probeThreshold,
+            candidateCount = dedupIn, seenCount = maxSeq,
+            prebuiltBatchBloom = bb)
+        } else {
+          dedupIn = parsedLinks.count()
+          sievedInput = Sieve
+            .newUrls(parsedLinks, seen, Seq("parentSeq", "linkIdx"), Nil,
+              broadcastProbe = dedupIn <= cfg.probeThreshold)
+            .transform(lc)
+        }
+      },
+      // rank assignment + frontier delta (the sequential rank chain),
+      // the seen append, and the delta bloom — all three consume only
+      // sievedInput and start the moment the gate completes
+      dependents = Seq(
       () => {
         // 8x-oversplit buckets: parentSeq density is uneven (popular hosts
         // sit at low seqs), so fine-grained monotone buckets keep the rank
@@ -1205,7 +1228,7 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
           extendBloom(if (r.isNullAt(0)) null
             else bloom_from_bytes(r.getAs[Array[Byte]](0)), round)
         } else extendBloom(null, round)
-      })
+      }))
 
     val frontierNext = st.frontier.unionByName(newDelta)
     val dedupOut =
