@@ -507,6 +507,46 @@ object SparkEntry {
         (col("doc_id") % 4).cast("int").as("round"),
         concat(lit("dg"), (col("doc_id") % 100).cast("string")).as("digest")))
 
+  /** graphMap (dense archetype node ids via the bucketed two-phase rank)
+    * over a constructed store: single round, digest groups mod 100, the
+    * group minimum is the archetype — the dense-rank + dup-resolution
+    * semantics are plain SQL. */
+  private def qGraphMapSynth(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(t(dir, "documents")).select(
+      col("doc_id"), lit(0).cast("int").as("round"),
+      concat(lit("dg"), (col("doc_id") % 100).cast("string")).as("digest"))
+    val mins = d.groupBy("digest").agg(min("doc_id").as("__m"))
+    analytics.StoreQuery.graphMap(
+      d.join(mins, Seq("digest"))
+        .withColumn("is_duplicate", col("doc_id") =!= col("__m")).drop("__m"))
+  }
+
+  /** statusClassBreakdown (1xx..5xx counters) over a constructed trace. */
+  private def qStatusClassesSynth(s: SparkSession, dir: String): DataFrame =
+    analytics.CrawlStats.statusClassBreakdown(
+      s.read.parquet(t(dir, "events")).select(
+        when(col("event_id") % 10 < 6, 200)
+          .when(col("event_id") % 10 < 8, 404)
+          .when(col("event_id") % 10 === 8, 301)
+          .otherwise(500).as("status")))
+
+  /** spanKindMix (contentType counter analog) over constructed spans:
+    * text span always, media span for even doc_ids. */
+  private def qSpanKindMixSynth(s: SparkSession, dir: String): DataFrame =
+    analytics.CrawlStats.spanKindMix(
+      s.read.parquet(t(dir, "documents")).select(
+        (col("doc_id") % 3).cast("int").as("round"),
+        when(col("doc_id") % 2 === 0,
+          array(
+            struct(lit("text").as("kind"), col("text").as("text"),
+              lit("").as("media_ref"), lit(0).as("offset")),
+            struct(lit("media").as("kind"), lit("").as("text"),
+              lit("http://m.example/x.jpg").as("media_ref"), lit(1).as("offset"))))
+        .otherwise(
+          array(
+            struct(lit("text").as("kind"), col("text").as("text"),
+              lit("").as("media_ref"), lit(0).as("offset")))).as("spans")))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sieve_first_seen" -> (qSieveFirstSeen(_, _)),
     "q_politeness_rank" -> (qPolitenessRank(_, _)),
@@ -551,7 +591,10 @@ object SparkEntry {
     "q_queue_histogram_synth" -> (qQueueHistogramSynth(_, _)),
     "q_speed_histogram_synth" -> (qSpeedHistogramSynth(_, _)),
     "q_media_edges_synth" -> (qMediaEdgesSynth(_, _)),
-    "q_store_archetypes_synth" -> (qStoreArchetypesSynth(_, _))
+    "q_store_archetypes_synth" -> (qStoreArchetypesSynth(_, _)),
+    "q_graph_map_synth" -> (qGraphMapSynth(_, _)),
+    "q_status_classes_synth" -> (qStatusClassesSynth(_, _)),
+    "q_span_kind_mix_synth" -> (qSpanKindMixSynth(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -775,7 +818,31 @@ object SparkEntry {
         |    FROM d) WHERE rn = 1)
         |SELECT d.doc_id, d.digest, f.arch AS archetype,
         |       d.doc_id <> f.arch AS is_duplicate_of_archetype
-        |FROM d JOIN f USING (digest)""".stripMargin
+        |FROM d JOIN f USING (digest)""".stripMargin,
+    "q_graph_map_synth" ->
+      """WITH d AS (
+        |  SELECT doc_id, 'dg' || CAST(doc_id % 100 AS VARCHAR) AS digest
+        |  FROM documents),
+        |m AS (SELECT digest, min(doc_id) AS arch FROM d GROUP BY 1),
+        |n AS (SELECT digest, arch AS archetype_url,
+        |             CAST(row_number() OVER (ORDER BY arch) AS BIGINT) - 1 AS node
+        |      FROM m)
+        |SELECT d.doc_id AS url, n.node, n.archetype_url
+        |FROM d JOIN n USING (digest)""".stripMargin,
+    "q_status_classes_synth" ->
+      """SELECT CAST(floor(s / 100) AS INT) AS status_class, count(*) AS n
+        |FROM (SELECT CASE WHEN event_id % 10 < 6 THEN 200
+        |                  WHEN event_id % 10 < 8 THEN 404
+        |                  WHEN event_id % 10 = 8 THEN 301
+        |                  ELSE 500 END AS s FROM events)
+        |GROUP BY 1""".stripMargin,
+    "q_span_kind_mix_synth" ->
+      """SELECT round, kind, count(*) AS n_spans FROM (
+        |  SELECT CAST(doc_id % 3 AS INT) AS round, 'text' AS kind FROM documents
+        |  UNION ALL
+        |  SELECT CAST(doc_id % 3 AS INT) AS round, 'media' AS kind
+        |  FROM documents WHERE doc_id % 2 = 0)
+        |GROUP BY 1, 2""".stripMargin
   )
 
   private val annBruteOracleSql =
