@@ -32,7 +32,7 @@ object BenchProbe {
     @volatile var shuffleWriteTime = 0L // ns
     @volatile var shuffleFetchWait = 0L
     @volatile var stages = 0L
-    val perStage = mutable.ArrayBuffer.empty[(String, Long, Long, Long, Long)]
+    val perStage = mutable.ArrayBuffer.empty[(String, Long, Long, Long, Long, Int)]
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = synchronized {
       val m = sc.stageInfo.taskMetrics
       val wallMs = (for {
@@ -40,7 +40,8 @@ object BenchProbe {
       } yield e - s).getOrElse(0L)
       if (m != null) {
         perStage += ((sc.stageInfo.name.take(70), wallMs, m.executorRunTime,
-          m.executorCpuTime / 1000000, m.shuffleWriteMetrics.writeTime / 1000000))
+          m.executorCpuTime / 1000000, m.shuffleWriteMetrics.writeTime / 1000000,
+          sc.stageInfo.numTasks))
         runTime += m.executorRunTime
         cpuTime += m.executorCpuTime
         gcTime += m.jvmGCTime
@@ -90,9 +91,25 @@ object BenchProbe {
     }
     def topStages(n: Int): String = synchronized {
       val byWall = perStage.sortBy(-_._2).take(n)
-      byWall.map { case (name, w, r, c, sw) =>
-        f"  wall=${w / 1000.0}%6.1fs run=${r / 1000.0}%7.1fs cpu=${c / 1000.0}%7.1fs shufW=${sw / 1000.0}%6.1fs  $name"
+      byWall.map { case (name, w, r, c, sw, nt) =>
+        f"  wall=${w / 1000.0}%6.1fs run=${r / 1000.0}%7.1fs cpu=${c / 1000.0}%7.1fs shufW=${sw / 1000.0}%6.1fs tasks=$nt%4d  $name"
       }.mkString("\n")
+    }
+    /** serial hotspots: stages whose task count is below `threads` — each
+      * runs with idle cores; sum(wall × idle-fraction) bounds the
+      * occupancy these stages alone give away. */
+    def serialStages(threads: Int, n: Int): String = synchronized {
+      val ser = perStage.filter(_._6 < threads).sortBy(-_._2)
+      // if nt tasks run concurrently, (threads - nt) cores idle for the
+      // stage's wall — an upper bound on what these stages give away
+      // (concurrent jobs may fill the gap; the timeline shows whether)
+      val idleCoreMs = ser.map { case (_, w, _, _, _, nt) =>
+        w.toDouble * (threads - nt) }.sum
+      val head = ser.take(n).map { case (name, w, r, _, _, nt) =>
+        f"  wall=${w / 1000.0}%6.1fs run=${r / 1000.0}%7.1fs tasks=$nt%4d  $name"
+      }.mkString("\n")
+      head + f"\n  TOTAL sub-$threads-task stages=${ser.size} " +
+        f"wall=${ser.map(_._2).sum / 1000.0}%.1fs idleCoreSec(bound)=${idleCoreMs / 1000.0}%.1fs"
     }
     def report(wall: Double): String = {
       f"""wall=$wall%.1fs stages=$stages
@@ -192,6 +209,8 @@ object BenchProbe {
     println(listener.report(wall))
     println("[probe] top stages by wall:")
     println(listener.topStages(14))
+    println(s"[probe] serial (sub-$threads-task) stages by wall:")
+    println(listener.serialStages(threads, 12))
     println("[probe] job timeline (>=400ms):")
     println(listener.timeline(400))
     try {

@@ -195,6 +195,37 @@ object Sieve {
   def seenBloom(seen: DataFrame, expected: Long, fpp: Double = 0.01): BloomFilter =
     seen.stat.bloomFilter("urlHash", math.max(expected, 1L), fpp)
 
+  /** Row count + bloom filter over `hashCol` in ONE pass, with a PARALLEL
+    * final merge. A plain global `agg(bloom_agg)` funnels every map task's
+    * partial filter into a single final task, whose wall is
+    * deserialize+OR over (numPartials × filterBytes) — measured 3-4 s of
+    * SERIAL time per round on the bench crawl (the filters are ~10 MB and
+    * the map side runs 64 tasks), squarely on the sieve gate's critical
+    * path, and growing with cluster partition counts. Grouping by
+    * partition id first merges in `groups` parallel tasks; the driver ORs
+    * the few group filters (identically-sized, so `mergeInPlace` is
+    * valid). Returns (rowCount, mergedFilter or null for an empty input). */
+  def bloomAggParallel(df: DataFrame, hashCol: String, expected: Long,
+      fpp: Double, groups: Int): (Long, BloomFilter) = {
+    import graft.functions.bloom_agg
+    val g = math.max(1, groups)
+    val rows = df
+      .groupBy((spark_partition_id() % g).as("__g"))
+      .agg(count(lit(1)).as("c"), bloom_agg(col(hashCol), expected, fpp).as("bf"))
+      .collect()
+    var n = 0L
+    var merged: BloomFilter = null
+    rows.foreach { r =>
+      n += r.getLong(1)
+      if (!r.isNullAt(2)) {
+        val b = BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](2)))
+        if (merged == null) merged = b else merged.mergeInPlace(b)
+      }
+    }
+    (n, merged)
+  }
+
   /** Assign dense, deterministic `seq` numbers to the per-round batch of
     * new URLs: `startSeq + rank` in the batch's first-enqueue order (the
     * reference re-sorts each sieve flush globally, `MercatorSieve.java:349`).

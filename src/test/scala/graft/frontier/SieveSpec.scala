@@ -105,4 +105,24 @@ class SieveSpec extends AnyFunSuite {
     assert(hashes.forall(obsBloom.mightContainLong))
     new scala.reflect.io.Directory(new java.io.File(out)).deleteRecursively()
   }
+
+  test("bloomAggParallel: grouped pre-merge == single global aggregate") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val hashes = (1L to 8000L).map(_ * 0x5bd1L)
+    val df = hashes.toDF("urlHash").repartition(13) // partials > groups
+    val (n, merged) = Sieve.bloomAggParallel(df, "urlHash", 8000, 0.01, groups = 4)
+    assert(n == 8000L)
+    // no false negatives after the two-level merge, fpp still in regime
+    assert(hashes.forall(merged.mightContainLong))
+    val probes = (1L to 30000L).map(i => i * 37L + 11L).filterNot(hashes.contains)
+    assert(probes.count(merged.mightContainLong) <= probes.size / 50)
+    // sized like the single-aggregate filter (mergeInPlace compatibility
+    // and the scan-probe presentUpper contract both lean on this)
+    val ref = df.stat.bloomFilter("urlHash", 8000, 0.01)
+    assert(merged.bitSize() == ref.bitSize())
+    // empty input -> (0, null)
+    val (n0, m0) = Sieve.bloomAggParallel(df.limit(0), "urlHash", 10, 0.01, 4)
+    assert(n0 == 0L && m0 == null)
+  }
 }
