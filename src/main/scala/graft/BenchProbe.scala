@@ -206,6 +206,9 @@ object BenchProbe {
       val urls = fetched + dedupInByRound.getOrElse(r, 0L)
       println(f"[probe] round=$r urls=$urls wall=$w%.2fs burst=$burst")
     }
+    val roundSum = crawler.roundWalls.map(_._3).sum
+    println(f"[probe] initWall=${crawler.initWall}%.2fs snapshotWall=${crawler.snapshotWall}%.2fs " +
+      f"roundSum=$roundSum%.2fs otherWall=${wall - roundSum - crawler.initWall - crawler.snapshotWall}%.2fs")
     println(listener.report(wall))
     println("[probe] top stages by wall:")
     println(listener.topStages(14))

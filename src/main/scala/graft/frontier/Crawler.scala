@@ -892,8 +892,7 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
               .join(broadcast(tombstonesNext), Seq("urlHash"), "left_anti")
             updateHeadsState(st.headsState, consumed0, addEmpty, pendingNext0)
           }
-        val compactedNext = st.frontier
-          .join(tombstonesNext.hint("shuffle_merge"), Seq("urlHash"), "left_anti")
+        lazy val compactedNext = compactFrontier(st.frontier, tombstonesNext, tombRowsNext)
         val snapped = maybeSnapshot(round, compactedNext, hostsNext, ips, maxSeq,
           st.frontSize, force = false, headsState = headsNext0)
         val (fNext, tombNext, tombRowsFinal, tombPartsFinal) =
@@ -1339,13 +1338,13 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
       } else st.frontSize
     val pendingRowsNext = st.pendingRows + dedupOut - (tombRowsNext - st.tombRows)
 
-    // compaction/snapshot uses a fully DISTRIBUTED anti-join (no driver-
-    // built broadcast: at compaction the tombstone set is millions of
-    // rows and the driver-side hash-relation build is a non-scaling cost;
-    // the per-round pending view keeps the broadcast because between
-    // compactions the set stays small)
-    val compactedNext = frontierNext
-      .join(tombstonesNext.hint("shuffle_merge"), Seq("urlHash"), "left_anti")
+    // compaction/snapshot is bloom-prefiltered + DISTRIBUTED exact
+    // anti-join (no driver-built broadcast: at compaction the tombstone
+    // set is millions of rows and the driver-side hash-relation build is
+    // a non-scaling cost; the per-round pending view keeps the broadcast
+    // because between compactions the set stays small). Lazy: the bloom
+    // build is a job, paid only on the rounds that actually compact.
+    lazy val compactedNext = compactFrontier(frontierNext, tombstonesNext, tombRowsNext)
     val snapped = maybeSnapshot(round, compactedNext, hostsNext, ipsNext,
       maxSeq + sieveOut, frontSizeNext, force = false, headsState = headsNextV)
     val (fNext, tombNext, tombRowsFinal, tombPartsFinal) =
@@ -1379,8 +1378,11 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
     fetchedCount
   }
 
-  /** Snapshot the state tables when the cadence (or `force`) says so. */
-  private def maybeSnapshot(round: Int, frontier: DataFrame, hosts: DataFrame,
+  /** Snapshot the state tables when the cadence (or `force`) says so.
+    * `frontier` is by-name: the compacted view costs a bloom-build job
+    * (see [[compactFrontier]]) that must not run on the rounds that skip
+    * the snapshot. */
+  private def maybeSnapshot(round: Int, frontier: => DataFrame, hosts: DataFrame,
       ips: DataFrame, maxSeq: Long, frontSize: Long, force: Boolean,
       headsState: DataFrame = null): Boolean = {
     val due = force || cfg.checkpointEvery <= 1 || round % cfg.checkpointEvery == 0
@@ -1388,14 +1390,47 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
     due
   }
 
+  /** frontier ∖ tombstones for compaction/snapshot. A plain sort-merge
+    * anti-join sorts and shuffles the WHOLE frontier to delete a few
+    * percent of its rows; instead probe a bloom built over the tombstone
+    * hashes (one cheap pass over the lc'd deltas): rows the filter
+    * rejects are definitely live and never shuffle, and only the
+    * maybe-tombstoned slice (true hits + fpp of the rest) pays the exact
+    * anti-join. Membership stays EXACT — false positives just ride the
+    * anti-join. The frontier inputs are lc'd/parquet so the two-predicate
+    * double scan re-reads cache/columnar blocks, not recomputed plans.
+    * Shuffle volume drops from O(frontier) to O(tombstones + fpp·frontier)
+    * — the same scan-probe shape the sieve uses against the seen store.
+    * The broadcast filter (~1.2 MB/M tombstones at 1% fpp) is dropped
+    * with the session; compaction fires once per `tombstoneCompactRows`
+    * (and once at the final snapshot), so handles don't accumulate. */
+  private def compactFrontier(frontier: DataFrame, tombstones: DataFrame,
+      tombRows: Long): DataFrame = {
+    if (tombRows <= 0) frontier
+    else {
+      val (_, bf) = Sieve.bloomAggParallel(tombstones, "urlHash",
+        math.max(tombRows, 1024L), CompactBloomFpp, bloomMergeGroups)
+      if (bf == null) frontier
+      else {
+        val hit = might_contain_bank(col("urlHash"),
+          Seq(spark.sparkContext.broadcast(bf)))
+        frontier.where(!hit).unionByName(
+          frontier.where(hit)
+            .join(tombstones.hint("shuffle_merge"), Seq("urlHash"), "left_anti"))
+      }
+    }
+  }
+
+  /** fpp of the compaction prefilter: false positives only divert rows to
+    * the exact anti-join, so this trades filter size against the maybe-
+    * slice's shuffle volume (1% of the frontier). */
+  private val CompactBloomFpp = 0.01
+
   /** Force a snapshot of the current live state (used at end of run). */
   private def snapshotLive(): Unit = live.foreach { st =>
     if (!exists(stateDir(st.round, "scalars") + "/_SUCCESS")) {
-      val compacted =
-        if (st.tombRows == 0) st.frontier
-        else st.frontier.join(st.tombstones.hint("shuffle_merge"), Seq("urlHash"), "left_anti")
-      writeState(st.round, compacted, st.hosts, st.ips, st.maxSeq, st.frontSize,
-        st.headsState)
+      writeState(st.round, compactFrontier(st.frontier, st.tombstones, st.tombRows),
+        st.hosts, st.ips, st.maxSeq, st.frontSize, st.headsState)
     }
   }
 
@@ -1405,10 +1440,18 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
   /** (round, fetched, wall-sec) per executed round — bench/probe telemetry
     * for the fixed-cost-vs-round-size analysis. */
   val roundWalls = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
+  /** wall seconds of the outside-the-round-loop phases (probe/bench
+    * telemetry): seed init and the final forced snapshot. */
+  var initWall = 0.0
+  var snapshotWall = 0.0
 
   def run(): Int = withRaisedBloomCaps {
     var round = lastCompleteRound()
-    if (round < 0) { init(); round = 0 }
+    if (round < 0) {
+      val ti = System.nanoTime()
+      init(); round = 0
+      initWall = (System.nanoTime() - ti) / 1e9
+    }
     var executed = 0
     var drained = false
     while (round < cfg.maxRounds && !drained) {
@@ -1423,7 +1466,9 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
       if (n == 0)
         drained = live.forall(_.pendingRows <= 0)
     }
+    val ts = System.nanoTime()
     snapshotLive()
+    snapshotWall = (System.nanoTime() - ts) / 1e9
     executed
   }
 
