@@ -280,6 +280,13 @@ object Bench {
         Seq.empty[(String, Double, Option[String])]
       else {
         val spark = session(cpus)
+        // warm the session BEFORE the clock starts: the first action on a
+        // fresh session pays scheduler/codegen/parquet-footer warmup that
+        // belongs to the session, not to whichever query sorts first —
+        // r1-r4 charged ~5 s of it to q1_agg (the r4 verdict read 5.71 s
+        // as "warmup, not a plan problem"; now the attribution is explicit)
+        spark.read.parquet(s"$sfDir/region.parquet")
+          .groupBy("r_regionkey").count().count()
         // crawl-engine queries are benched below as the frontier run
         val skip = Set("q_crawl_e2e", "q_store_archetypes", "q_crawl_progress",
           "q_queue_histogram", "q_media_edges", "q_graph_map", "q_speed_histogram")
@@ -428,6 +435,9 @@ object Bench {
          |(order-independent xxhash64 trace checksum + row counts).
          |
          |Per-query wall times (sf=$sfDir, local[$cpus]): see BENCH JSON line.
+         |(The session is warmed by one trivial aggregation before the
+         |per-query clock starts, so the alphabetically-first query no
+         |longer absorbs ~5 s of scheduler/codegen warmup as in r1-r4.)
          |""".stripMargin
     Files.writeString(java.nio.file.Paths.get("BENCH.md"), md)
   }
