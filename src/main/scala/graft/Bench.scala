@@ -62,9 +62,18 @@ object Bench {
     stateStorage = "DISK_ONLY") // tmpfs-backed blocks: off the JVM heap
 
   /** One measured crawl run. `throttled` = the run's own roundWalls show a
-    * mid-run hypervisor slowdown (see [[isThrottled]]). */
+    * mid-run hypervisor slowdown (see [[isThrottled]]). `initWall`/
+    * `snapWall` split out the one-time phases (seed init, final snapshot)
+    * so the JSON also carries a steady-state (round-loop-only) view: at a
+    * real crawl's round counts the one-time cost amortizes away, and under
+    * a clamped window it inflates disproportionately (probe: init 27.7 s
+    * clamped vs ~6 s healthy at 16t), so the split keeps the headline
+    * interpretable either way. */
   case class CrawlRun(rate: Double, processed: Long, wall: Double, chk: String,
-    traceRows: Long, roundWalls: Seq[(Int, Long, Double)], throttled: Boolean)
+    traceRows: Long, roundWalls: Seq[(Int, Long, Double)], throttled: Boolean,
+    initWall: Double, snapWall: Double) {
+    def roundSum: Double = roundWalls.map(_._3).sum
+  }
 
   /** Detect mid-run hypervisor throttling from the run's own telemetry:
     * round 2 (the first full-width round; round 1 is seeds + codegen
@@ -110,7 +119,7 @@ object Bench {
       } catch { case _: Exception => () }
       val walls = crawler.roundWalls.toSeq
       CrawlRun(processed / wall, processed, wall, chk, traceRows, walls,
-        isThrottled(walls))
+        isThrottled(walls), crawler.initWall, crawler.snapshotWall)
     } finally spark.stop()
   }
 
@@ -358,6 +367,12 @@ object Bench {
     val identical = (hiRuns ++ loRuns).forall(h =>
       bLo.chk == h.chk && bLo.traceRows == h.traceRows && bLo.processed == h.processed)
     val efficiency = (bLo.wall / bHi.wall) / (nHi.toDouble / nLo)
+    // steady-state twin: round-loop walls only (seed init + final snapshot
+    // excluded). At a real crawl's round counts the one-time phases
+    // amortize away; under a clamped window they inflate disproportionately
+    // — the split keeps the headline interpretable either way. The
+    // HEADLINE stays the full-run number.
+    val efficiencyRounds = (bLo.roundSum / bHi.roundSum) / (nHi.toDouble / nLo)
     val wallsJson = (lbl: String, rs: Seq[CrawlRun]) =>
       s""""$lbl":[${rs.map(r => f"${r.wall}%.1f").mkString(",")}]"""
     val flagsJson = (lbl: String, rs: Seq[CrawlRun]) =>
@@ -376,7 +391,7 @@ object Bench {
       .mkString("{", ",", "}")
     val totalQuerySec = results.map(_._2).sum
     val json =
-      f"""{"metric":"frontier_urls_scheduled_deduped_per_sec","value":${bHi.rate}%.1f,"unit":"urls/sec","queries":$qs,"query_errors":$qErrs,"sf":"$sfDir","total_query_sec":$totalQuerySec%.2f,"frontier":{"levels":[$nLo,$nHi],"local${nLo}_urls_per_sec":${bLo.rate}%.1f,"local${nHi}_urls_per_sec":${bHi.rate}%.1f,"scaling_efficiency":$efficiency%.3f,"throttled":$throttled,"cpu_calibration_efficiency":$calibEff%.3f,"mem_calibration_efficiency":$memEff%.3f,"mem_random_calibration_efficiency":$memRndEff%.3f,"mem_llc_calibration_efficiency":$memCacheEff%.3f,"urls_processed":${bHi.processed},"urls_processed_lo":${bLo.processed},"wall_lo_sec":${bLo.wall}%.1f,"wall_hi_sec":${bHi.wall}%.1f,${wallsJson("wall_lo_runs", loRuns.toSeq)},${wallsJson("wall_hi_runs", hiRuns.toSeq)},${flagsJson("throttled_lo_runs", loRuns.toSeq)},${flagsJson("throttled_hi_runs", hiRuns.toSeq)},${roundWallsJson("round_walls_lo", bLo)},${roundWallsJson("round_walls_hi", bHi)},"selection":"$selection","identical_crawl":$identical}}"""
+      f"""{"metric":"frontier_urls_scheduled_deduped_per_sec","value":${bHi.rate}%.1f,"unit":"urls/sec","queries":$qs,"query_errors":$qErrs,"sf":"$sfDir","total_query_sec":$totalQuerySec%.2f,"frontier":{"levels":[$nLo,$nHi],"local${nLo}_urls_per_sec":${bLo.rate}%.1f,"local${nHi}_urls_per_sec":${bHi.rate}%.1f,"scaling_efficiency":$efficiency%.3f,"scaling_efficiency_rounds_only":$efficiencyRounds%.3f,"init_wall_lo_sec":${bLo.initWall}%.1f,"init_wall_hi_sec":${bHi.initWall}%.1f,"snapshot_wall_lo_sec":${bLo.snapWall}%.1f,"snapshot_wall_hi_sec":${bHi.snapWall}%.1f,"throttled":$throttled,"cpu_calibration_efficiency":$calibEff%.3f,"mem_calibration_efficiency":$memEff%.3f,"mem_random_calibration_efficiency":$memRndEff%.3f,"mem_llc_calibration_efficiency":$memCacheEff%.3f,"urls_processed":${bHi.processed},"urls_processed_lo":${bLo.processed},"wall_lo_sec":${bLo.wall}%.1f,"wall_hi_sec":${bHi.wall}%.1f,${wallsJson("wall_lo_runs", loRuns.toSeq)},${wallsJson("wall_hi_runs", hiRuns.toSeq)},${flagsJson("throttled_lo_runs", loRuns.toSeq)},${flagsJson("throttled_hi_runs", hiRuns.toSeq)},${roundWallsJson("round_walls_lo", bLo)},${roundWallsJson("round_walls_hi", bHi)},"selection":"$selection","identical_crawl":$identical}}"""
     println(json)
 
     val md =
@@ -411,6 +426,10 @@ object Bench {
          || local[$nHi] | ${bHi.processed} | ${bHi.wall}%.1f | ${bHi.rate}%.1f |
          |
          |**Scaling efficiency (T$nLo/T$nHi)/($nHi/$nLo) = $efficiency%.3f** (target >= 0.8).
+         |Steady-state twin (round-loop walls only; seed init
+         |lo=${bLo.initWall}%.1f s / hi=${bHi.initWall}%.1f s and final snapshot
+         |lo=${bLo.snapWall}%.1f s / hi=${bHi.snapWall}%.1f s excluded — one-time
+         |phases that amortize away at real crawl lengths): $efficiencyRounds%.3f.
          |Machine calibration, same plain-JVM murmur hashing at $nLo vs $nHi threads:
          |  - pure-CPU (cache-resident 64B buffers): **$calibEff%.3f**
          |    ($calibLo%.0f -> $calibHi%.0f hashes/s) — the core-count ceiling;
