@@ -306,6 +306,21 @@ object Bench {
         r
       }
 
+    // queries-only mode: iterate on the query surface without spending
+    // the frontier section's sustained wide load (the hypervisor budget
+    // it drains is the one the driver-of-record run needs — BASELINE.md
+    // round-5 throttle notes). Emits the part-1 JSON and SKIPS BENCH.md,
+    // which stays owned by full-protocol runs.
+    if (sys.env.contains("SPARK_GRAFT_BENCH_QUERIES_ONLY")) {
+      val qsOnly = results.collect { case (k, v, None) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      val qErrsOnly = results.collect { case (k, _, Some(e)) =>
+        "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"queries_only","queries":$qsOnly,"query_errors":$qErrsOnly,"sf":"$sfDir","total_query_sec":${f"${results.map(_._2).sum}%.2f"}}""")
+      return
+    }
+
     // ---- part 2: frontier throughput at two parallelism levels ----
     val calibLo = calibrate(nLo)
     val calibHi = calibrate(nHi)

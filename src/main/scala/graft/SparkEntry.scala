@@ -547,6 +547,49 @@ object SparkEntry {
             struct(lit("text").as("kind"), col("text").as("text"),
               lit("").as("media_ref"), lit(0).as("offset")))).as("spans")))
 
+  // ---- oracle-twin mode for the hash-based dedup/fingerprint family ----
+  // The production queries (q_minhash_pairs, q_simhash_pairs,
+  // q_fingerprint) are rows-only: their murmur hashes are not
+  // DuckDB-expressible. These twins run the UNCHANGED pipeline code
+  // (MinHashes/SimHash64/RollingFingerprint expressions, banding,
+  // capBuckets skew guard, self-join, est-jaccard/hamming) with the
+  // expressions' `mod > 0` twin mode — a modular base-31 polynomial hash —
+  // which DuckDB recomputes from the DIRECT per-shingle/per-window
+  // definition. A driver green therefore checks the rolling-update
+  // recurrences (h' = ((h - c_out*31^(k-1))*31 + c_in) mod m) against the
+  // direct algebra, plus the banding + bucket-cap semantics, end to end.
+
+  private val TwinMod = 1000000007L
+
+  /** Constructed near-dup corpus: every doc plus a suffixed copy, so the
+    * candidate-pair outputs are non-trivially populated. */
+  private def nearDupDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(t(dir, "documents")).select(col("doc_id").as("id"), col("text"))
+    d.union(d.select((col("id") + 1000000L).as("id"),
+      concat(col("text"), lit(" near dup tail")).as("text")))
+  }
+
+  private def qMinhashPairsSynth(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidatePairs(
+      nearDupDocs(s, dir).where(length(col("text")) >= 8),
+      "id", "text", shingleK = 8, numHashes = 16, bands = 4,
+      minEstJaccard = 0.25, maxBucketSize = 10, mod = TwinMod)
+
+  // maxHamming=3 + cap 64: the synthetic docs share a word pool, so twin
+  // signatures correlate — a loose radius admits O(docs²) correlated
+  // pairs at sf0.1; the tight radius keeps the output near-dup-dominated
+  // and the bench-time self-join bounded
+  private def qSimhashPairsSynth(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashCandidatePairs(
+      nearDupDocs(s, dir)
+        .where(size(filter(split(col("text"), " "), t => length(t) > 0)) > 0),
+      "id", "text", maxHamming = 3, maxBucketSize = 64, mod = TwinMod)
+
+  private def qFingerprintSynth(s: SparkSession, dir: String): DataFrame =
+    TextStats.fingerprints(
+      s.read.parquet(t(dir, "documents")).select(col("doc_id"), col("text")),
+      "doc_id", "text", window = 16, mod = TwinMod)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sieve_first_seen" -> (qSieveFirstSeen(_, _)),
     "q_politeness_rank" -> (qPolitenessRank(_, _)),
@@ -594,7 +637,10 @@ object SparkEntry {
     "q_store_archetypes_synth" -> (qStoreArchetypesSynth(_, _)),
     "q_graph_map_synth" -> (qGraphMapSynth(_, _)),
     "q_status_classes_synth" -> (qStatusClassesSynth(_, _)),
-    "q_span_kind_mix_synth" -> (qSpanKindMixSynth(_, _))
+    "q_span_kind_mix_synth" -> (qSpanKindMixSynth(_, _)),
+    "q_minhash_pairs_synth" -> (qMinhashPairsSynth(_, _)),
+    "q_simhash_pairs_synth" -> (qSimhashPairsSynth(_, _)),
+    "q_fingerprint_synth" -> (qFingerprintSynth(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -842,7 +888,67 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT CAST(doc_id % 3 AS INT) AS round, 'media' AS kind
         |  FROM documents WHERE doc_id % 2 = 0)
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+    // the twin-mode hash recomputed from the DIRECT definition (the Spark
+    // side maintains it with the rolling recurrence — a green checks the
+    // algebra); polynomial: fold (acc*31 + codepoint) mod 1e9+7
+    "q_minhash_pairs_synth" ->
+      s"""WITH d AS (
+         |  SELECT doc_id AS id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS id, text || ' near dup tail' AS text FROM documents),
+         |f AS (SELECT id, text FROM d WHERE length(text) >= 8),
+         |bs AS (SELECT id, list_transform(range(1, length(text) - 8 + 2),
+         |         i -> list_reduce(list_transform(range(i, i + 8),
+         |                j -> CAST(ascii(text[j:j]) AS BIGINT)),
+         |                (a, c) -> (a * 31 + c) % $TwinMod)) AS bases FROM f),
+         |sg AS (SELECT id, list_transform(range(0, 16),
+         |         p -> list_min(list_transform(bases,
+         |                b -> ((2 * p + 1) * b + p * 7919) % $TwinMod))) AS sig FROM bs),
+         |bd AS (SELECT id, b.band, array_to_string(sig[b.band * 4 + 1 : b.band * 4 + 4], '_') AS key
+         |       FROM sg, (SELECT unnest(range(0, 4)) AS band) b),
+         |cp AS (SELECT * FROM bd QUALIFY count(*) OVER (PARTITION BY band, key) <= 10),
+         |pr AS (SELECT DISTINCT l.id AS id1, r.id AS id2
+         |       FROM cp l JOIN cp r ON l.band = r.band AND l.key = r.key AND l.id < r.id),
+         |ej AS (SELECT pr.id1, pr.id2,
+         |         CAST(list_sum(list_transform(range(1, 17),
+         |           i -> CASE WHEN s1.sig[i] = s2.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16
+         |           AS est_jaccard
+         |       FROM pr JOIN sg s1 ON s1.id = pr.id1 JOIN sg s2 ON s2.id = pr.id2)
+         |SELECT id1, id2, est_jaccard FROM ej WHERE est_jaccard >= 0.25""".stripMargin,
+    "q_simhash_pairs_synth" ->
+      s"""WITH d AS (
+         |  SELECT doc_id AS id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS id, text || ' near dup tail' AS text FROM documents),
+         |tk AS (SELECT id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks FROM d),
+         |f AS (SELECT id, toks FROM tk WHERE len(toks) > 0),
+         |th AS (SELECT id, list_transform(toks,
+         |         t -> list_reduce(list_transform(range(1, length(t) + 1),
+         |                j -> CAST(ascii(t[j:j]) AS BIGINT)),
+         |                (a, c) -> (a * 31 + c) % $TwinMod)) AS hs FROM f),
+         |sg AS (SELECT id, CAST(list_sum(list_transform(range(0, 30),
+         |         b -> CASE WHEN list_sum(list_transform(hs,
+         |                h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |              THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS sh FROM th),
+         |bd AS (SELECT id, sh, b.band, (sh >> (b.band * 8)) & 255 AS key
+         |       FROM sg, (SELECT unnest(range(0, 8)) AS band) b),
+         |cp AS (SELECT * FROM bd QUALIFY count(*) OVER (PARTITION BY band, key) <= 64)
+         |SELECT DISTINCT l.id AS id1, r.id AS id2, bit_count(xor(l.sh, r.sh)) AS hamming
+         |FROM cp l JOIN cp r ON l.band = r.band AND l.key = r.key AND l.id < r.id
+         |WHERE bit_count(xor(l.sh, r.sh)) <= 3""".stripMargin,
+    "q_fingerprint_synth" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN length(text) = 0 THEN 0
+         |       WHEN length(text) <= 16 THEN
+         |         list_reduce(list_transform(range(1, length(text) + 1),
+         |           j -> CAST(ascii(text[j:j]) AS BIGINT)), (a, c) -> (a * 31 + c) % $TwinMod)
+         |       ELSE list_min(list_transform(range(1, length(text) - 16 + 2),
+         |         i -> list_reduce(list_transform(range(i, i + 16),
+         |                j -> CAST(ascii(text[j:j]) AS BIGINT)),
+         |                (a, c) -> (a * 31 + c) % $TwinMod)))
+         |  END AS fingerprint
+         |FROM documents""".stripMargin
   )
 
   private val annBruteOracleSql =

@@ -33,17 +33,25 @@ object Dedup {
   }
 
   /** MinHash signature + banded LSH keys.
-    * Returns (id, band, bandHash) — one row per band per doc. */
+    * Returns (id, band, bandHash) — one row per band per doc.
+    * `mod > 0` is oracle-twin mode: the signature uses the SQL-expressible
+    * rolling-polynomial hash and the band key becomes the joined slice
+    * values (a string) instead of xxhash64 — DuckDB groups by the same
+    * key, so the whole banding pipeline is driver-checkable. */
   def minhashBands(docs: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 5, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+      shingleK: Int = 5, numHashes: Int = 32, bands: Int = 8,
+      mod: Long = 0L): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
     val sig = docs.select(col(idCol).as("id"),
-      minhashes(col(textCol), shingleK, numHashes).as("sig"))
+      minhashes(col(textCol), shingleK, numHashes, mod).as("sig"))
     // band b = hash of signature slice [b*rows, (b+1)*rows)
+    def bandKey(s: Column): Column =
+      if (mod > 0) concat_ws("_", s.cast("array<string>"))
+      else xxhash64(s.cast("array<string>"))
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64(slice(col("sig"), b * rows + 1, rows).cast("array<string>")).as("bandHash"))
+        bandKey(slice(col("sig"), b * rows + 1, rows)).as("bandHash"))
     }
     sig.select(col("id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.bandHash"))
@@ -69,9 +77,10 @@ object Dedup {
     * Buckets over `maxBucketSize` are skipped (skew guard). */
   def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5, numHashes: Int = 32, bands: Int = 8,
-      minEstJaccard: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
+      minEstJaccard: Double = 0.5, maxBucketSize: Int = 1000,
+      mod: Long = 0L): DataFrame = {
     val b = capBuckets(
-      minhashBands(docs, idCol, textCol, shingleK, numHashes, bands),
+      minhashBands(docs, idCol, textCol, shingleK, numHashes, bands, mod),
       Seq("band", "bandHash"), maxBucketSize)
     val pairs = b.as("l").join(b.as("r"),
         col("l.band") === col("r.band") && col("l.bandHash") === col("r.bandHash") &&
@@ -79,7 +88,7 @@ object Dedup {
       .select(col("l.id").as("id1"), col("r.id").as("id2"))
       .distinct()
     val sig = docs.select(col(idCol).as("id"),
-      minhashes(col(textCol), shingleK, numHashes).as("sig"))
+      minhashes(col(textCol), shingleK, numHashes, mod).as("sig"))
     pairs
       .join(sig.select(col("id").as("id1"), col("sig").as("sig1")), Seq("id1"))
       .join(sig.select(col("id").as("id2"), col("sig").as("sig2")), Seq("id2"))
@@ -101,8 +110,8 @@ object Dedup {
     * candidate recall above 7 is only partial (pairs whose differing bits
     * spread across all 8 bands are never bucketed together). */
   def simhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 7, maxBucketSize: Int = 1000): DataFrame = {
-    val sig = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
+      maxHamming: Int = 7, maxBucketSize: Int = 1000, mod: Long = 0L): DataFrame = {
+    val sig = docs.select(col(idCol).as("id"), simhash64(col(textCol), mod).as("sh"))
     val banded0 = sig.select(col("id"), col("sh"),
       explode(array((0 until 8).map(b =>
         struct(lit(b).as("band"), shiftrightunsigned(col("sh"), b * 8).bitwiseAND(lit(0xffL)).as("key"))): _*)).as("bk"))

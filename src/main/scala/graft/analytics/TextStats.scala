@@ -68,7 +68,9 @@ object TextStats {
     docs.select(col(idCol), pred.as("lang_pred"), best.cast("long").as("lang_score"))
   }
 
-  /** Shift-resistant document fingerprint (min rolling hash). */
-  def fingerprints(docs: DataFrame, idCol: String, textCol: String, window: Int = 16): DataFrame =
-    docs.select(col(idCol), rolling_fingerprint(col(textCol), window).as("fingerprint"))
+  /** Shift-resistant document fingerprint (min rolling hash).
+    * `mod > 0` = SQL-expressible rolling-polynomial twin mode. */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 16, mod: Long = 0L): DataFrame =
+    docs.select(col(idCol), rolling_fingerprint(col(textCol), window, mod).as("fingerprint"))
 }

@@ -258,9 +258,30 @@ case class MightContainBank(child: Expression,
   override def prettyName: String = "might_contain_bank"
 }
 
+/** Modular polynomial (base-31) string hashing: the ANSI-SQL-expressible
+  * hash family behind the `mod > 0` twin mode of [[SimHash64]],
+  * [[MinHashes]] and [[RollingFingerprint]]. A DuckDB oracle can recompute
+  * `fold((acc, c) => (acc*31 + c) % mod)` from the direct definition, so
+  * plugging this hash into the UNCHANGED pipeline code (banding, skew
+  * caps, self-joins, rolling-update recurrences) makes the whole pipeline
+  * driver-checkable; the production murmur-based hashes are not
+  * SQL-expressible, which is why their queries are rows-only. */
+private[functions] object PolyHash {
+  /** Direct polynomial hash of text[from, until) mod `mod`. */
+  def hash(text: String, from: Int, until: Int, mod: Long): Long = {
+    var h = 0L
+    var i = from
+    while (i < until) { h = (h * 31L + text.charAt(i)) % mod; i += 1 }
+    h
+  }
+}
+
 /** SimHash-64 over whitespace tokens: sign-sum of per-token murmur hashes.
-  * Standard Charikar construction (public algorithm). */
-case class SimHash64(child: Expression) extends InterpretedUnary {
+  * Standard Charikar construction (public algorithm). With `mod > 0` the
+  * token hash is the SQL-expressible [[PolyHash]] (twin mode: only the
+  * low ~30 signature bits can be set; the sign-sum and banding logic are
+  * identical). */
+case class SimHash64(child: Expression, mod: Long = 0L) extends InterpretedUnary {
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
@@ -271,7 +292,9 @@ case class SimHash64(child: Expression) extends InterpretedUnary {
     while (i <= n) {
       if (i == n || text.charAt(i) == ' ') {
         if (i > start) {
-          val h = MurmurHash3Bubing.hashString(text.substring(start, i))
+          val h =
+            if (mod > 0) PolyHash.hash(text, start, i, mod)
+            else MurmurHash3Bubing.hashString(text.substring(start, i))
           var b = 0
           while (b < 64) {
             if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
@@ -292,26 +315,55 @@ case class SimHash64(child: Expression) extends InterpretedUnary {
 }
 
 /** MinHash signature: `n` min-hashes over character `k`-shingles, using
-  * seeded murmur64 per hash function. Returns array<long> of length n. */
-case class MinHashes(child: Expression, k: Int, n: Int) extends InterpretedUnary {
+  * seeded murmur64 per hash function. Returns array<long> of length n.
+  * With `mod > 0` (twin mode) the per-shingle base hash is the
+  * SQL-expressible [[PolyHash]], maintained with the ROLLING recurrence
+  * `h' = ((h - c_out*31^(k-1))*31 + c_in) mod m` — one hash per shingle in
+  * O(1) — while the DuckDB oracle recomputes every shingle from the
+  * direct O(k) definition, so a driver green checks the rolling-update
+  * algebra, not just the banding. Remixes become affine mod m. */
+case class MinHashes(child: Expression, k: Int, n: Int, mod: Long = 0L) extends InterpretedUnary {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
     val mins = Array.fill(n)(Long.MaxValue)
     if (text.length >= k) {
-      var i = 0
-      val last = text.length - k
-      while (i <= last) {
-        val base = MurmurHash3Bubing.hashString(text.substring(i, i + k))
-        var j = 0
-        while (j < n) {
-          // Distinct hash functions via affine remix of the base hash
-          // (one string hash per shingle, n cheap remixes).
-          val h = java.lang.Long.rotateLeft(base, j % 64) * (2 * j + 1) + j * 0x9e3779b97f4a7c15L
-          if (h < mins(j)) mins(j) = h
-          j += 1
+      if (mod > 0) {
+        // pow = 31^(k-1) mod m for the rolling window subtract
+        var pow = 1L
+        var p = 0
+        while (p < k - 1) { pow = pow * 31L % mod; p += 1 }
+        var base = PolyHash.hash(text, 0, k, mod)
+        var i = 0
+        val last = text.length - k
+        while (i <= last) {
+          var j = 0
+          while (j < n) {
+            val h = ((2L * j + 1L) * base + j * 7919L) % mod
+            if (h < mins(j)) mins(j) = h
+            j += 1
+          }
+          if (i < last) {
+            val out = text.charAt(i).toLong * pow % mod
+            base = ((base - out + mod) * 31L + text.charAt(i + k)) % mod
+          }
+          i += 1
         }
-        i += 1
+      } else {
+        var i = 0
+        val last = text.length - k
+        while (i <= last) {
+          val base = MurmurHash3Bubing.hashString(text.substring(i, i + k))
+          var j = 0
+          while (j < n) {
+            // Distinct hash functions via affine remix of the base hash
+            // (one string hash per shingle, n cheap remixes).
+            val h = java.lang.Long.rotateLeft(base, j % 64) * (2 * j + 1) + j * 0x9e3779b97f4a7c15L
+            if (h < mins(j)) mins(j) = h
+            j += 1
+          }
+          i += 1
+        }
       }
     }
     new GenericArrayData(mins)
@@ -322,13 +374,33 @@ case class MinHashes(child: Expression, k: Int, n: Int) extends InterpretedUnary
 
 /** Rolling (Rabin-Karp, base 31) 64-bit fingerprint of a document: the min
   * rolling hash over all windows of `window` chars — a shift-resistant
-  * document fingerprint (winnowing-style, public technique). */
-case class RollingFingerprint(child: Expression, window: Int) extends InterpretedUnary {
+  * document fingerprint (winnowing-style, public technique). With
+  * `mod > 0` (twin mode) the hash is the SQL-expressible [[PolyHash]] with
+  * no avalanche mix, still maintained by the rolling recurrence; the
+  * DuckDB oracle recomputes every window from the direct definition, so a
+  * driver green checks the rolling-update algebra. */
+case class RollingFingerprint(child: Expression, window: Int, mod: Long = 0L) extends InterpretedUnary {
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
     val n = text.length
     if (n == 0) return 0L
+    if (mod > 0) {
+      if (n <= window) return PolyHash.hash(text, 0, n, mod)
+      var pow = 1L
+      var p = 0
+      while (p < window - 1) { pow = pow * 31L % mod; p += 1 }
+      var h = PolyHash.hash(text, 0, window, mod)
+      var min = h
+      var i = window
+      while (i < n) {
+        val out = text.charAt(i - window).toLong * pow % mod
+        h = ((h - out + mod) * 31L + text.charAt(i)) % mod
+        if (h < min) min = h
+        i += 1
+      }
+      return min
+    }
     if (n <= window) return MurmurHash3Bubing.hashString(text)
     var pow = 1L
     var i = 0

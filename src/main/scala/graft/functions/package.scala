@@ -71,13 +71,17 @@ package object functions {
   def bloom_from_bytes(b: Array[Byte]): org.apache.spark.util.sketch.BloomFilter =
     org.apache.spark.util.sketch.BloomFilter.readFrom(b)
 
-  /** 64-bit SimHash over whitespace tokens. */
-  def simhash64(text: Column): Column = mkCol(SimHash64(toExpr(text)))
+  /** 64-bit SimHash over whitespace tokens. `mod > 0` switches the token
+    * hash to the SQL-expressible modular polynomial (oracle twin mode). */
+  def simhash64(text: Column, mod: Long = 0L): Column = mkCol(SimHash64(toExpr(text), mod))
 
-  /** MinHash signature: n min-hashes over char k-shingles -> array<long>. */
-  def minhashes(text: Column, k: Int, n: Int): Column = mkCol(MinHashes(toExpr(text), k, n))
+  /** MinHash signature: n min-hashes over char k-shingles -> array<long>.
+    * `mod > 0` = SQL-expressible rolling-polynomial twin mode. */
+  def minhashes(text: Column, k: Int, n: Int, mod: Long = 0L): Column =
+    mkCol(MinHashes(toExpr(text), k, n, mod))
 
-  /** Min rolling-hash (winnowing-style) document fingerprint. */
-  def rolling_fingerprint(text: Column, window: Int = 16): Column =
-    mkCol(RollingFingerprint(toExpr(text), window))
+  /** Min rolling-hash (winnowing-style) document fingerprint.
+    * `mod > 0` = SQL-expressible rolling-polynomial twin mode. */
+  def rolling_fingerprint(text: Column, window: Int = 16, mod: Long = 0L): Column =
+    mkCol(RollingFingerprint(toExpr(text), window, mod))
 }

@@ -221,6 +221,61 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(f(1L) != f(4L))
   }
 
+  test("twin-mode (mod) hashes: rolling recurrence == direct definition") {
+    import spark.implicits._
+    val m = 1000000007L
+    def direct(s: String, from: Int, until: Int): Long = {
+      var h = 0L
+      (from until until).foreach(i => h = (h * 31 + s.charAt(i)) % m)
+      h
+    }
+    val rnd = new scala.util.Random(7)
+    val texts = (0 until 40).map { i =>
+      val n = 1 + rnd.nextInt(120)
+      (i.toLong, (0 until n).map(_ => (32 + rnd.nextInt(95)).toChar).mkString)
+    }
+    val df = texts.toDF("doc_id", "text")
+
+    // rolling_fingerprint(mod): min over direct window hashes
+    val fp = TextStats.fingerprints(df, "doc_id", "text", window = 16, mod = m)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.foreach { case (id, s) =>
+      val expect =
+        if (s.isEmpty) 0L
+        else if (s.length <= 16) direct(s, 0, s.length)
+        else (0 to s.length - 16).map(i => direct(s, i, i + 16)).min
+      assert(fp(id) == expect, s"fingerprint mismatch for doc $id")
+    }
+
+    // minhashes(mod): per-j min over direct shingle hashes remixed
+    val k = 8; val n = 16
+    val sig = df.select(col("doc_id"),
+        graft.functions.minhashes(col("text"), k, n, m).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    texts.foreach { case (id, s) =>
+      val expect =
+        if (s.length < k) Seq.fill(n)(Long.MaxValue)
+        else (0 until n).map { j =>
+          (0 to s.length - k)
+            .map(i => ((2L * j + 1) * direct(s, i, i + k) + j * 7919L) % m).min
+        }
+      assert(sig(id) == expect, s"minhash sig mismatch for doc $id")
+    }
+
+    // simhash64(mod): sign-sum over direct token hashes, low 30 bits
+    val sh = df.select(col("doc_id"),
+        graft.functions.simhash64(col("text"), m).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.foreach { case (id, s) =>
+      val toks = s.split(" ").filter(_.nonEmpty)
+      val expect = (0 until 30).map { b =>
+        val c = toks.map(t => if (((direct(t, 0, t.length) >>> b) & 1L) == 1L) 1 else -1).sum
+        if (c > 0) 1L << b else 0L
+      }.sum
+      assert(sh(id) == expect, s"simhash mismatch for doc $id")
+    }
+  }
+
   test("multimodal: media table + batched stub feature extraction") {
     import spark.implicits._
     val crawlDocs = Seq(
