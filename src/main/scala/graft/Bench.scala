@@ -70,9 +70,21 @@ object Bench {
     * clamped vs ~6 s healthy at 16t), so the split keeps the headline
     * interpretable either way. */
   case class CrawlRun(rate: Double, processed: Long, wall: Double, chk: String,
-    traceRows: Long, roundWalls: Seq[(Int, Long, Double)], throttled: Boolean,
+    traceRows: Long, roundWalls: Seq[(Int, Long, Double)],
+    roundRunMs: Seq[Long], threads: Int, throttled: Boolean,
     initWall: Double, snapWall: Double) {
     def roundSum: Double = roundWalls.map(_._3).sum
+    /** Executor occupancy per round: runTime / (threads × wall). In-band
+      * evidence for the serial-tail question — no separate probe run. */
+    def roundOcc: Seq[Double] =
+      roundWalls.zip(roundRunMs).map { case ((_, _, w), rt) =>
+        if (w > 0) rt / 1000.0 / (threads * w) else 0.0
+      }
+    /** Whole round-loop occupancy (one-time init/snapshot excluded). */
+    def occupancy: Double = {
+      val w = roundSum
+      if (w > 0) roundRunMs.sum / 1000.0 / (threads * w) else 0.0
+    }
   }
 
   /** Detect mid-run hypervisor throttling from the run's own telemetry:
@@ -99,9 +111,14 @@ object Bench {
         java.nio.file.Paths.get("/dev/shm"), s"graft-bench-$threads").toString
       val cfg = benchConfig(threads, scale)
       val crawler = new Crawler(spark, work, cfg)
+      // per-round executorRunTime sampling → in-band occupancy telemetry
+      val ml = new BenchProbe.MetricsListener
+      spark.sparkContext.addSparkListener(ml)
+      crawler.roundCounter = () => ml.runTime
       val t0 = System.nanoTime()
       crawler.run()
       val wall = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.removeSparkListener(ml)
       val m = crawler.metrics().agg(
         sum("fetched").as("fetched"), sum("dedup_in").as("dedup_in")).collect()(0)
       val processed = m.getLong(0) + m.getLong(1)
@@ -119,6 +136,7 @@ object Bench {
       } catch { case _: Exception => () }
       val walls = crawler.roundWalls.toSeq
       CrawlRun(processed / wall, processed, wall, chk, traceRows, walls,
+        crawler.roundRunMs.toSeq, threads,
         isThrottled(walls), crawler.initWall, crawler.snapshotWall)
     } finally spark.stop()
   }
@@ -394,6 +412,8 @@ object Bench {
       s""""$lbl":[${rs.map(_.throttled).mkString(",")}]"""
     val roundWallsJson = (lbl: String, r: CrawlRun) =>
       s""""$lbl":[${r.roundWalls.map(w => f"${w._3}%.1f").mkString(",")}]"""
+    val roundOccJson = (lbl: String, r: CrawlRun) =>
+      s""""$lbl":[${r.roundOcc.map(o => f"$o%.2f").mkString(",")}]"""
     val selection =
       (if (symmetric) "best clean wall of 2 per level, symmetric, order lo-hi-hi-lo"
        else "1 run per level, order lo-hi (degraded: budget; late slot on hi deflates efficiency)") +
@@ -406,7 +426,7 @@ object Bench {
       .mkString("{", ",", "}")
     val totalQuerySec = results.map(_._2).sum
     val json =
-      f"""{"metric":"frontier_urls_scheduled_deduped_per_sec","value":${bHi.rate}%.1f,"unit":"urls/sec","queries":$qs,"query_errors":$qErrs,"sf":"$sfDir","total_query_sec":$totalQuerySec%.2f,"frontier":{"levels":[$nLo,$nHi],"local${nLo}_urls_per_sec":${bLo.rate}%.1f,"local${nHi}_urls_per_sec":${bHi.rate}%.1f,"scaling_efficiency":$efficiency%.3f,"scaling_efficiency_rounds_only":$efficiencyRounds%.3f,"init_wall_lo_sec":${bLo.initWall}%.1f,"init_wall_hi_sec":${bHi.initWall}%.1f,"snapshot_wall_lo_sec":${bLo.snapWall}%.1f,"snapshot_wall_hi_sec":${bHi.snapWall}%.1f,"throttled":$throttled,"cpu_calibration_efficiency":$calibEff%.3f,"mem_calibration_efficiency":$memEff%.3f,"mem_random_calibration_efficiency":$memRndEff%.3f,"mem_llc_calibration_efficiency":$memCacheEff%.3f,"urls_processed":${bHi.processed},"urls_processed_lo":${bLo.processed},"wall_lo_sec":${bLo.wall}%.1f,"wall_hi_sec":${bHi.wall}%.1f,${wallsJson("wall_lo_runs", loRuns.toSeq)},${wallsJson("wall_hi_runs", hiRuns.toSeq)},${flagsJson("throttled_lo_runs", loRuns.toSeq)},${flagsJson("throttled_hi_runs", hiRuns.toSeq)},${roundWallsJson("round_walls_lo", bLo)},${roundWallsJson("round_walls_hi", bHi)},"selection":"$selection","identical_crawl":$identical}}"""
+      f"""{"metric":"frontier_urls_scheduled_deduped_per_sec","value":${bHi.rate}%.1f,"unit":"urls/sec","queries":$qs,"query_errors":$qErrs,"sf":"$sfDir","total_query_sec":$totalQuerySec%.2f,"frontier":{"levels":[$nLo,$nHi],"local${nLo}_urls_per_sec":${bLo.rate}%.1f,"local${nHi}_urls_per_sec":${bHi.rate}%.1f,"scaling_efficiency":$efficiency%.3f,"scaling_efficiency_rounds_only":$efficiencyRounds%.3f,"init_wall_lo_sec":${bLo.initWall}%.1f,"init_wall_hi_sec":${bHi.initWall}%.1f,"snapshot_wall_lo_sec":${bLo.snapWall}%.1f,"snapshot_wall_hi_sec":${bHi.snapWall}%.1f,"throttled":$throttled,"cpu_calibration_efficiency":$calibEff%.3f,"mem_calibration_efficiency":$memEff%.3f,"mem_random_calibration_efficiency":$memRndEff%.3f,"mem_llc_calibration_efficiency":$memCacheEff%.3f,"urls_processed":${bHi.processed},"urls_processed_lo":${bLo.processed},"wall_lo_sec":${bLo.wall}%.1f,"wall_hi_sec":${bHi.wall}%.1f,${wallsJson("wall_lo_runs", loRuns.toSeq)},${wallsJson("wall_hi_runs", hiRuns.toSeq)},${flagsJson("throttled_lo_runs", loRuns.toSeq)},${flagsJson("throttled_hi_runs", hiRuns.toSeq)},${roundWallsJson("round_walls_lo", bLo)},${roundWallsJson("round_walls_hi", bHi)},${roundOccJson("round_occ_lo", bLo)},${roundOccJson("round_occ_hi", bHi)},"occupancy_lo":${f"${bLo.occupancy}%.3f"},"occupancy_hi":${f"${bHi.occupancy}%.3f"},"selection":"$selection","identical_crawl":$identical}}"""
     println(json)
 
     val md =
@@ -434,6 +454,13 @@ object Bench {
          |(throttled: ${loRuns.map(_.throttled).mkString(", ")}).
          |Selected runs' round walls: lo=[${bLo.roundWalls.map(w => f"${w._3}%.1f").mkString(", ")}]s,
          |hi=[${bHi.roundWalls.map(w => f"${w._3}%.1f").mkString(", ")}]s.
+         |Per-round executor occupancy (runTime/(threads×wall), listener-
+         |sampled at round boundaries, so a stage tail can smear ~ms into
+         |the next round): lo=[${bLo.roundOcc.map(o => f"$o%.2f").mkString(", ")}],
+         |hi=[${bHi.roundOcc.map(o => f"$o%.2f").mkString(", ")}];
+         |round-loop occupancy lo=${f"${bLo.occupancy}%.2f"}, hi=${f"${bHi.occupancy}%.2f"} —
+         |in-band evidence for how much of any efficiency gap is serial
+         |tails vs per-thread CPU inflation (BASELINE.md floor model).
          |
          || parallelism | URLs scheduled+deduped | wall (s) | throughput (urls/sec) |
          ||---|---|---|---|

@@ -590,6 +590,24 @@ object SparkEntry {
       s.read.parquet(t(dir, "documents")).select(col("doc_id"), col("text")),
       "doc_id", "text", window = 16, mod = TwinMod)
 
+  /** Multimodal plumbing in twin-hash mode: ref hash, payload bytes, and
+    * the stub decode become modular-polynomial (DuckDB recomputes all of
+    * them), while the real pipeline — span explode, distinct, typed
+    * Dataset encoders, the per-partition batched-decode contract — runs
+    * unchanged. feature_sig joins the (integer-valued) feature vector
+    * without xxhash so the oracle can rebuild it. */
+  private def qMediaFeaturesSynth(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+      .select(col("doc_id").cast("string").as("doc_id"),
+        array(struct(lit("media").as("kind"), lit("").as("text"),
+          concat(lit("http://m.example/img"), col("doc_id")).as("media_ref"),
+          lit(0).as("offset"))).as("spans"))
+    Multimodal.extractFeatures(Multimodal.mediaTable(docs, s, TwinMod), TwinMod).toDF
+      .withColumn("feature_sig",
+        array_join(transform(col("feature"), f => f.cast("long").cast("string")), ","))
+      .drop("feature")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sieve_first_seen" -> (qSieveFirstSeen(_, _)),
     "q_politeness_rank" -> (qPolitenessRank(_, _)),
@@ -640,7 +658,8 @@ object SparkEntry {
     "q_span_kind_mix_synth" -> (qSpanKindMixSynth(_, _)),
     "q_minhash_pairs_synth" -> (qMinhashPairsSynth(_, _)),
     "q_simhash_pairs_synth" -> (qSimhashPairsSynth(_, _)),
-    "q_fingerprint_synth" -> (qFingerprintSynth(_, _))
+    "q_fingerprint_synth" -> (qFingerprintSynth(_, _)),
+    "q_media_features_synth" -> (qMediaFeaturesSynth(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -948,7 +967,24 @@ object SparkEntry {
          |                j -> CAST(ascii(text[j:j]) AS BIGINT)),
          |                (a, c) -> (a * 31 + c) % $TwinMod)))
          |  END AS fingerprint
-         |FROM documents""".stripMargin
+         |FROM documents""".stripMargin,
+    "q_media_features_synth" ->
+      s"""WITH refs AS (
+         |  SELECT DISTINCT 'http://m.example/img' || CAST(doc_id AS VARCHAR) AS ref
+         |  FROM documents),
+         |h1 AS (SELECT ref, list_reduce(list_transform(range(1, length(ref) + 1),
+         |         j -> CAST(ascii(ref[j:j]) AS BIGINT)),
+         |         (a, c) -> (a * 31 + c) % $TwinMod) AS h FROM refs),
+         |pb AS (SELECT h, 64 + (h % 192) AS n FROM h1),
+         |hp AS (SELECT h, n, list_reduce(list_transform(range(0, n),
+         |         i -> (h >> CAST((i % 8) * 8 AS INT)) & 255),
+         |         (a, c) -> (a * 31 + c) % $TwinMod) AS h2 FROM pb)
+         |SELECT h AS media_id, 'image' AS kind, CAST(n AS INT) AS n_bytes,
+         |       CAST(16 + (h2 % 64) AS INT) AS width,
+         |       CAST(16 + ((h2 >> 7) % 64) AS INT) AS height,
+         |       array_to_string(list_transform(range(0, 8),
+         |         i -> (h2 >> CAST(i * 8 AS INT)) & 255), ',') AS feature_sig
+         |FROM hp""".stripMargin
   )
 
   private val annBruteOracleSql =

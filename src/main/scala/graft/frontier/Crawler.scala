@@ -1440,6 +1440,14 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
   /** (round, fetched, wall-sec) per executed round — bench/probe telemetry
     * for the fixed-cost-vs-round-size analysis. */
   val roundWalls = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
+  /** Optional monotonic counter sampled at round boundaries (bench wiring:
+    * cumulative executorRunTime ms from a SparkListener). roundRunMs(i) is
+    * the delta across round i — the per-round occupancy numerator. Listener
+    * events are posted asynchronously, so a tail of a round's stages can
+    * smear into the next sample; the smear is a few ms against multi-second
+    * rounds and is disclosed where the numbers are published. */
+  var roundCounter: () => Long = () => 0L
+  val roundRunMs = scala.collection.mutable.ArrayBuffer.empty[Long]
   /** wall seconds of the outside-the-round-loop phases (probe/bench
     * telemetry): seed init and the final forced snapshot. */
   var initWall = 0.0
@@ -1457,9 +1465,11 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
     while (round < cfg.maxRounds && !drained) {
       round += 1
       val t0 = System.nanoTime()
+      val c0 = roundCounter()
       val n = runRound(round)
       val wall = (System.nanoTime() - t0) / 1e9
       roundWalls += ((round, n, wall))
+      roundRunMs += roundCounter() - c0
       if (cfg.logRounds)
         println(f"[crawler] round=$round fetched=$n wall=$wall%.1fs")
       executed += 1

@@ -32,6 +32,41 @@ class BenchSpec extends AnyFunSuite {
     assert(r("q_lazy_boom").isDefined)
   }
 
+  test("per-round occupancy: runTime/(threads×wall), init/snapshot excluded") {
+    val r = Bench.CrawlRun(rate = 1.0, processed = 10L, wall = 30.0, chk = "x",
+      traceRows = 1L,
+      roundWalls = Seq((1, 5L, 10.0), (2, 5L, 10.0)),
+      roundRunMs = Seq(40000L, 80000L), threads = 8,
+      throttled = false, initWall = 5.0, snapWall = 5.0)
+    assert(math.abs(r.roundOcc.head - 0.5) < 1e-9) // 40 s over 8×10 s
+    assert(math.abs(r.roundOcc(1) - 1.0) < 1e-9)
+    // whole loop: 120 s runTime over 8 threads × 20 s round walls — the
+    // 10 s of init+snapshot must NOT dilute the denominator
+    assert(math.abs(r.occupancy - 0.75) < 1e-9)
+    val empty = r.copy(roundWalls = Nil, roundRunMs = Nil)
+    assert(empty.occupancy == 0.0 && empty.roundOcc.isEmpty)
+  }
+
+  test("roundCounter wiring fills per-round executorRunTime on a real crawl") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bench-occ").toString
+    val cfg = graft.frontier.CrawlConfig(
+      web = graft.synth.SyntheticWeb.Config(sites = 30, degree = 4, maxDepth = 2, seed = 42L),
+      nSeeds = 4, hostDelay = 2, ipDelay = 1, burst = 2,
+      maxUrlsPerHost = 12, maxRounds = 4, statePartitions = 4)
+    val crawler = new graft.frontier.Crawler(spark, dir, cfg)
+    val ml = new BenchProbe.MetricsListener
+    spark.sparkContext.addSparkListener(ml)
+    crawler.roundCounter = () => ml.runTime
+    val rounds = crawler.run()
+    spark.sparkContext.removeSparkListener(ml)
+    assert(crawler.roundRunMs.size == rounds)
+    assert(crawler.roundRunMs.size == crawler.roundWalls.size)
+    // every round runs Spark jobs, so each delta must be positive
+    // (modulo listener-bus smear, the SUM certainly is)
+    assert(crawler.roundRunMs.sum > 0)
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+  }
+
   test("isThrottled flags the BENCH_r04 window and passes healthy profiles") {
     // the recorded throttle window: rounds 3-4 at ~8x round-2 pace
     val r04hi = Seq((1, 181943L, 14.3), (2, 1223077L, 30.9),
