@@ -37,20 +37,12 @@ object Multimodal {
       .as[String]
       .map { ref =>
         val h =
-          if (mod > 0) polyHash(i => ref.charAt(i).toLong, ref.length, mod)
+          if (mod > 0) graft.functions.PolyHash.hash(ref, 0, ref.length, mod)
           else graft.core.MurmurHash3Bubing.hashString(ref)
         val n = 64 + (math.abs(h) % 192).toInt
         val payload = Array.tabulate[Byte](n)(i => ((h >> (i % 8 * 8)) & 0xff).toByte)
         MediaRecord(h, ref, "image", payload)
       }
-  }
-
-  /** Base-31 polynomial fold mod m over `len` values (twin-mode hash). */
-  private def polyHash(value: Int => Long, len: Int, mod: Long): Long = {
-    var h = 0L
-    var i = 0
-    while (i < len) { h = (h * 31L + value(i)) % mod; i += 1 }
-    h
   }
 
   /** STUB decoder: deterministic pseudo-decode standing in for a real
@@ -63,7 +55,8 @@ object Multimodal {
     * recomputable by a DuckDB oracle. */
   private def fakeDecode(payload: Array[Byte], mod: Long): (Int, Int, Array[Float]) = {
     val h =
-      if (mod > 0) polyHash(i => (payload(i) & 0xff).toLong, payload.length, mod)
+      if (mod > 0)
+        graft.functions.PolyHash.hash(i => (payload(i) & 0xff).toLong, payload.length, mod)
       else graft.core.MurmurHash3Bubing.hash(payload)
     val width = 16 + (math.abs(h) % 64).toInt
     val height = 16 + (math.abs(h >> 7) % 64).toInt

@@ -155,16 +155,19 @@ object Sieve {
     // exactly once, and the whole sieve tail is ONE job instead of three
     // (materialize present, count present, anti-join).
     // the |present| bound below assumes the batch bloom was sized for (at
-    // least) this batch at `batchFpp` — enforce the doc-comment contract on
-    // caller-prebuilt filters, or an undersized filter would silently
-    // invalidate the bound and oversize the broadcast
-    require(prebuiltBatchBloom == null ||
+    // least) this batch at `batchFpp`. An undersized caller-prebuilt
+    // filter (e.g. one whose bloom_agg build was clamped by the session's
+    // runtime-filter numBits cap) has a HIGHER real fpp, so the bound is
+    // invalid — but the sieve itself stays correct (the bloom is only a
+    // prefilter; the anti-join below is exact), so the right response is
+    // to SKIP the bound-based shortcut and fall through to the
+    // materialize-and-count path that measures |present| exactly, not to
+    // abort a crawl hours in over a degraded prefilter.
+    val boundValid = prebuiltBatchBloom == null ||
       prebuiltBatchBloom.bitSize() >=
-        BloomFilter.optimalNumOfBits(math.max(candidateCount, 1024L), batchFpp),
-      s"prebuiltBatchBloom undersized: ${prebuiltBatchBloom.bitSize()} bits < " +
-        s"optimal for $candidateCount items at fpp=$batchFpp")
+        BloomFilter.optimalNumOfBits(math.max(candidateCount, 1024L), batchFpp)
     val presentUpper =
-      if (seenCount < 0) Long.MaxValue
+      if (seenCount < 0 || !boundValid) Long.MaxValue
       else candidateCount + math.ceil(seenCount * batchFpp).toLong
     if (presentUpper <= broadcastLimit)
       return mat(deduped.join(broadcast(presentPlan), Seq("urlHash"), "left_anti"))
@@ -204,11 +207,24 @@ object Sieve {
     * path, and growing with cluster partition counts. Grouping by
     * partition id first merges in `groups` parallel tasks; the driver ORs
     * the few group filters (identically-sized, so `mergeInPlace` is
-    * valid). Returns (rowCount, mergedFilter or null for an empty input). */
+    * valid). Returns (rowCount, mergedFilter or null for an empty input).
+    *
+    * Driver-transfer bound: each group ships a FULL-SIZE filter to the
+    * driver, so the collect is groups × filterBytes — at large `expected`
+    * (e.g. a 10^8-tombstone compaction filter ≈ 114 MB at 1% fpp) a
+    * 16-way group split would be ~1.8 GB, past the default
+    * spark.driver.maxResultSize cliff the delta-bloom redesign documented
+    * (Crawler's bloom_agg comment). `groups` is therefore clamped so the
+    * transfer stays ≤ 256 MB: big filters degrade gracefully toward the
+    * single-final-task shape (whose serial merge cost they amortize far
+    * better than small filters anyway). */
   def bloomAggParallel(df: DataFrame, hashCol: String, expected: Long,
       fpp: Double, groups: Int): (Long, BloomFilter) = {
     import graft.functions.bloom_agg
-    val g = math.max(1, groups)
+    val filterBytes = math.max(8L,
+      BloomFilter.optimalNumOfBits(math.max(expected, 1024L), fpp) / 8)
+    val maxGroups = math.max(1L, (256L << 20) / filterBytes)
+    val g = math.max(1, math.min(groups.toLong, maxGroups).toInt)
     val rows = df
       .groupBy((spark_partition_id() % g).as("__g"))
       .agg(count(lit(1)).as("c"), bloom_agg(col(hashCol), expected, fpp).as("bf"))

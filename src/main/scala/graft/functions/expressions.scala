@@ -266,12 +266,20 @@ case class MightContainBank(child: Expression,
   * caps, self-joins, rolling-update recurrences) makes the whole pipeline
   * driver-checkable; the production murmur-based hashes are not
   * SQL-expressible, which is why their queries are rows-only. */
-private[functions] object PolyHash {
+private[graft] object PolyHash {
   /** Direct polynomial hash of text[from, until) mod `mod`. */
   def hash(text: String, from: Int, until: Int, mod: Long): Long = {
     var h = 0L
     var i = from
     while (i < until) { h = (h * 31L + text.charAt(i)) % mod; i += 1 }
+    h
+  }
+  /** Same fold over arbitrary values (e.g. unsigned payload bytes) —
+    * ONE definition for every twin-mode oracle to mirror. */
+  def hash(value: Int => Long, len: Int, mod: Long): Long = {
+    var h = 0L
+    var i = 0
+    while (i < len) { h = (h * 31L + value(i)) % mod; i += 1 }
     h
   }
 }

@@ -76,9 +76,21 @@ class BenchSpec extends AnyFunSuite {
     val healthy = Seq((1, 181943L, 6.1), (2, 1223077L, 28.4),
       (3, 1356671L, 41.2), (4, 1496552L, 43.9))
     assert(!Bench.isThrottled(healthy))
+    // a clamp that begins AT round 2 and lifts later: the min-pace anchor
+    // flags it (the old round-2 anchor was blind — later rounds looked
+    // FASTER than the clamped reference)
+    val clampedR2 = Seq((1, 181943L, 14.3), (2, 1223077L, 240.0),
+      (3, 1356671L, 41.0), (4, 1496552L, 45.0))
+    assert(Bench.isThrottled(clampedR2))
     // degenerate telemetry never flags
     assert(!Bench.isThrottled(Nil))
     assert(!Bench.isThrottled(Seq((1, 100L, 5.0))))
     assert(!Bench.isThrottled(Seq((1, 0L, 5.0), (2, 0L, 5.0))))
+  }
+
+  test("jsonStr escapes control chars so multi-line errors stay valid JSON") {
+    assert(Bench.jsonStr("Job aborted\nCaused by: \"x\"\t\\") ==
+      "\"Job aborted\\nCaused by: \\\"x\\\"\\t\\\\\"")
+    assert(Bench.jsonStr("bell" + 7.toChar) == "\"bell\\u0007\"")
   }
 }
