@@ -79,16 +79,31 @@ object Dedup {
       shingleK: Int = 5, numHashes: Int = 32, bands: Int = 8,
       minEstJaccard: Double = 0.5, maxBucketSize: Int = 1000,
       mod: Long = 0L): DataFrame = {
-    val b = capBuckets(
-      minhashBands(docs, idCol, textCol, shingleK, numHashes, bands, mod),
-      Seq("band", "bandHash"), maxBucketSize)
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    // Materialize the signature table ONCE per invocation (guide §8:
+    // decide on small rows — a signature is a few hundred bytes standing
+    // in for the document). Without the boundary, the self-join, the
+    // skew-cap semi-join and the two est-jaccard joins re-evaluate the
+    // minhash expression over EVERY doc six times (r06 plan audit: six
+    // parquet scans of `documents` in one query).
+    val sig = docs.select(col(idCol).as("id"),
+      minhashes(col(textCol), shingleK, numHashes, mod).as("sig")).localCheckpoint()
+    def bandKey(s: Column): Column =
+      if (mod > 0) concat_ws("_", s.cast("array<string>"))
+      else xxhash64(s.cast("array<string>"))
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        bandKey(slice(col("sig"), b * rows + 1, rows)).as("bandHash"))
+    }
+    val banded = sig.select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bandHash"))
+    val b = capBuckets(banded, Seq("band", "bandHash"), maxBucketSize)
     val pairs = b.as("l").join(b.as("r"),
         col("l.band") === col("r.band") && col("l.bandHash") === col("r.bandHash") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id1"), col("r.id").as("id2"))
       .distinct()
-    val sig = docs.select(col(idCol).as("id"),
-      minhashes(col(textCol), shingleK, numHashes, mod).as("sig"))
     pairs
       .join(sig.select(col("id").as("id1"), col("sig").as("sig1")), Seq("id1"))
       .join(sig.select(col("id").as("id2"), col("sig").as("sig2")), Seq("id2"))
@@ -111,7 +126,12 @@ object Dedup {
     * spread across all 8 bands are never bucketed together). */
   def simhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 7, maxBucketSize: Int = 1000, mod: Long = 0L): DataFrame = {
+    // signature materialized once per invocation — the self-join + skew
+    // cap otherwise evaluate the (interpreted) simhash expression over
+    // every doc in four scan subtrees, twice per subtree (the join-key
+    // isnotnull filter re-derives it); see minhashCandidatePairs
     val sig = docs.select(col(idCol).as("id"), simhash64(col(textCol), mod).as("sh"))
+      .localCheckpoint()
     val banded0 = sig.select(col("id"), col("sh"),
       explode(array((0 until 8).map(b =>
         struct(lit(b).as("band"), shiftrightunsigned(col("sh"), b * 8).bitwiseAND(lit(0xffL)).as("key"))): _*)).as("bk"))
@@ -156,14 +176,23 @@ object Dedup {
     * cap (and its extra counting pass). */
   private def cosinePairsInBuckets(v: DataFrame, bucket: Column,
       minCosine: Double, maxBucketSize: Int): DataFrame = {
+    // (id, v, bucket, nrm) materialized once per invocation: the self-join
+    // sides (and the skew-cap pass) read the materialized rows instead of
+    // re-deriving bucket ids, and each row's norm is computed ONCE here
+    // rather than once per PAIR inside the cosine — the per-pair work
+    // drops to a single dot-product fold (bit-identical: same fold order,
+    // same na*nb operand order as Similarity.cosine).
     val withB = v.withColumn("bucket", bucket)
+      .withColumn("nrm", Similarity.normExpr(col("v")))
+      .localCheckpoint()
     val sig =
       if (maxBucketSize == Int.MaxValue) withB
       else capBuckets(withB, Seq("bucket"), maxBucketSize)
     sig.as("l").join(sig.as("r"),
         col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id1"), col("r.id").as("id2"),
-        Similarity.cosine(col("l.v"), col("r.v")).as("cosine"))
+        Similarity.cosineWithNorms(col("l.v"), col("r.v"),
+          col("l.nrm"), col("r.nrm")).as("cosine"))
       .where(col("cosine") >= minCosine)
   }
 
@@ -174,15 +203,29 @@ object Dedup {
       maxBucketSize: Int = 1000): DataFrame = {
     val v = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     // deterministic pseudo-hyperplanes: sign of sum_i v[i]*w_p[i],
-    // w_p[i] = hash-derived in {-1,1}
-    def sgn(p: Int): Column = {
+    // w_p[i] = hash-derived in {-1,1}. For a uniform-dimension corpus the
+    // weights are a driver-computed literal table (the same xxhash64
+    // derivation — Similarity.planeWeights), replacing planes×dim string
+    // hashes per row; ragged corpora keep the per-row adaptive form.
+    def sgnAdaptive(p: Int): Column = {
       val prods = aggregate(
         zip_with(col("v"), sequence(lit(0), size(col("v")) - 1),
           (x, i) => x * (pmod(xxhash64(concat_ws("_", lit(p), i)), lit(2)) * 2 - 1)),
         lit(0.0), (acc, x) => acc + x)
       when(prods >= 0, lit(1)).otherwise(lit(0))
     }
-    val sigExpr = (0 until planes).map(p => sgn(p) * (1 << p)).reduce(_ + _)
+    def sgnW(p: Int, w: Array[Double]): Column = {
+      val prods = aggregate(zip_with(col("v"), array(w.map(lit): _*), (x, ww) => x * ww),
+        lit(0.0), (acc, x) => acc + x)
+      when(prods >= 0, lit(1)).otherwise(lit(0))
+    }
+    val sigExpr = Similarity.uniformDim(v, "v") match {
+      case Some(dim) =>
+        val w = Similarity.planeWeights(planes, dim)
+        (0 until planes).map(p => sgnW(p, w(p)) * (1 << p)).reduce(_ + _)
+      case None =>
+        (0 until planes).map(p => sgnAdaptive(p) * (1 << p)).reduce(_ + _)
+    }
     cosinePairsInBuckets(v, sigExpr, minCosine, maxBucketSize)
   }
 

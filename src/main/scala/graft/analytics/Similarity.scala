@@ -25,19 +25,101 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  /** Euclidean norm of an array<double> column — the exact subexpression
+    * [[cosine]] computes per side, split out so callers can evaluate it
+    * ONCE per row (in its own projection / before a self-join) instead of
+    * twice per cosine call (`when` condition + divisor). Keeping the
+    * identical fold order makes the result bit-identical. */
+  def normExpr(v: Column): Column =
+    sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  /** [[cosine]] with both norms precomputed: dot is the only per-pair
+    * array fold left. Bit-identical to [[cosine]] (same operand order in
+    * the `na * nb` product and the zero guard). */
+  def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
+    when(na === 0 || nb === 0, 0.0).otherwise(dot(a, b) / (na * nb))
+
+  /** Driver-side twin of [[normExpr]] over a literal query vector: the
+    * same left-fold sum of squares (identical IEEE sequence), so
+    * `lit(localNorm(q))` replaces a per-row re-evaluation of the norm of
+    * a constant array (which Catalyst does NOT constant-fold — r06 plan
+    * audit: the query-norm aggregate appeared verbatim in the per-row
+    * CASE of every ANN scan). */
+  def localNorm(q: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < q.length) { acc += q(i) * q(i); i += 1 }
+    math.sqrt(acc)
+  }
+
+  /** Driver-side evaluation of the hash-derived hyperplane weight
+    * `pmod(xxhash64(concat_ws("_", p, i)), 2) * 2 - 1` — the same Spark
+    * XxHash64 (seed 42) over the same "p_i" string the per-row expression
+    * hashed, so a literal weight array replaces planes×dim string hashes
+    * PER ROW with one driver-side table (guide §1.2: fix the per-task
+    * work). Weights are ±1.0 doubles, exactly the value the old
+    * `x * (pmod(xxhash64(..)) * 2 - 1)` multiplied by. */
+  private[analytics] def planeWeights(planes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(planes, dim) { (p, i) =>
+      val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(
+        Seq(org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"${p}_$i"),
+          org.apache.spark.sql.types.StringType))).eval(null).asInstanceOf[Long]
+      (java.lang.Math.floorMod(h, 2L) * 2L - 1L).toDouble
+    }
+
+  /** Sign-bucket id from literal weights: same fold order / zero rule as
+    * [[bucketExpr]], applicable when every vector has exactly
+    * `weights(p).length` elements (the [[uniformDim]] probe guards it). */
+  private[analytics] def bucketExprW(vec: Column, weights: Array[Array[Double]]): Column =
+    weights.zipWithIndex.map { case (w, p) =>
+      val prod = aggregate(zip_with(vec, array(w.map(lit): _*), (x, ww) => x * ww),
+        lit(0.0), (acc, x) => acc + x)
+      when(prod >= 0, lit(1L)).otherwise(lit(0L)) * (1L << p)
+    }.reduce(_ + _)
+
+  /** Driver-side twin of one plane's sign under [[bucketExprW]] (same
+    * left-fold), for computing a literal query bucket without a Spark job. */
+  private[analytics] def localBucket(q: Array[Double], weights: Array[Array[Double]]): Long =
+    weights.zipWithIndex.map { case (w, p) =>
+      var acc = 0.0
+      var i = 0
+      while (i < q.length) { acc += q(i) * w(i); i += 1 }
+      (if (acc >= 0) 1L else 0L) * (1L << p)
+    }.sum
+
+  /** The vectors' common dimension, or None when ragged/empty/zero-length
+    * (callers then keep the per-row adaptive expressions). One tiny
+    * aggregation job — repaid many times over by the literal-weight path. */
+  private[analytics] def uniformDim(v: DataFrame, vecCol: String): Option[Int] = {
+    val r = v.agg(min(size(col(vecCol))).as("mn"), max(size(col(vecCol))).as("mx")).head()
+    if (r.isNullAt(0) || r.isNullAt(1) || r.getInt(0) != r.getInt(1) || r.getInt(0) <= 0) None
+    else Some(r.getInt(0))
+  }
+
+  /** One corpus scan + TakeOrdered(k) against a literal query: the shared
+    * tail of every ANN probe. The corpus norm is evaluated in its own
+    * projection (once per row — CollapseProject will not inline a non-cheap
+    * alias referenced twice) and the query norm is a driver-computed
+    * literal, so the per-row work is ONE dot fold instead of five. */
+  private def cosineTopK(v: DataFrame, query: Array[Double], k: Int): DataFrame = {
+    val q = array(query.map(lit): _*)
+    val qn = lit(localNorm(query))
+    v.withColumn("nrm", normExpr(col("v")))
+      .select(col("id"), cosineWithNorms(col("v"), q, col("nrm"), qn).as("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+  }
+
   /** Brute-force cosine top-k: one corpus scan, TakeOrdered(k) — the exact
     * baseline. `query` is a local vector (broadcast as literal array). */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
-      query: Array[Double], k: Int): DataFrame = {
-    val q = array(query.map(lit): _*)
-    emb.select(col(idCol).as("id"),
-        cosine(col(vecCol).cast("array<double>"), q).as("cosine"))
-      .orderBy(col("cosine").desc, col("id"))
-      .limit(k)
+      query: Array[Double], k: Int): DataFrame =
+    cosineTopK(emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v")),
+        query, k)
       .withColumn("rank",
         row_number().over(Window.orderBy(col("cosine").desc, col("id"))).cast("long"))
       .select("rank", "id", "cosine")
-  }
 
   /** Sign-bucket (random-hyperplane) LSH top-k: only scans vectors whose
     * bucket is within `probes` hamming bits of the query's bucket —
@@ -46,23 +128,26 @@ object Similarity {
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
       query: Array[Double], k: Int, planes: Int = 8): DataFrame = {
     val v = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-    def planeSign(vec: Column, p: Int): Column = {
-      val prod = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x * (pmod(xxhash64(concat_ws("_", lit(p), i)), lit(2)) * 2 - 1)),
-        lit(0.0), (acc, x) => acc + x)
-      when(prod >= 0, lit(1L)).otherwise(lit(0L))
+    // literal ±1 weights when the corpus dimension is uniform (the normal
+    // case): replaces planes×dim string hashes PER ROW — for the corpus
+    // bucket AND the query bucket, which Catalyst re-evaluated per row
+    // despite being constant (r06 plan audit) — with small zip_with folds
+    // and a driver-computed literal. Ragged corpora keep the old per-row
+    // adaptive expressions (identical results either way).
+    val (bucketCol, qBucket) = uniformDim(v, "v") match {
+      case Some(dim) =>
+        val w = planeWeights(planes, dim)
+        (bucketExprW(col("v"), w), lit(localBucket(query, w)))
+      case None =>
+        val q = array(query.map(lit): _*)
+        (bucketExpr(col("v"), planes), bucketExpr(q, planes))
     }
-    val bucketOf: Column => Column = vec =>
-      (0 until planes).map(p => planeSign(vec, p) * (1L << p)).reduce(_ + _)
-    val q = array(query.map(lit): _*)
-    val qBucket = bucketOf(q)
-    val bucketed = v.withColumn("bucket", bucketOf(col("v")))
-    bucketed
-      .where(bit_count(col("bucket").bitwiseXOR(qBucket)) <= 1) // probe ball r=1
-      .select(col("id"), cosine(col("v"), q).as("cosine"))
-      .orderBy(col("cosine").desc, col("id"))
-      .limit(k)
+    val bucketed = v.withColumn("bucket", bucketCol)
+    cosineTopK(
+      bucketed
+        .where(bit_count(col("bucket").bitwiseXOR(qBucket)) <= 1) // probe ball r=1
+        .select(col("id"), col("v")),
+      query, k)
   }
 
   private def planeSignExpr(vec: Column, p: Int): Column = {
@@ -83,10 +168,22 @@ object Similarity {
     * with a post-filter. At 100 TB this is the difference between reading
     * ~(probes/2^planes) of the table and reading all of it. */
   def writeBucketed(emb: DataFrame, idCol: String, vecCol: String,
-      path: String, planes: Int = 8): Unit =
-    emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("bucket", bucketExpr(col("v"), planes))
-      .write.partitionBy("bucket").mode("overwrite").parquet(path)
+      path: String, planes: Int = 8): Unit = {
+    val v = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val bucketCol = uniformDim(v, "v") match {
+      case Some(dim) => bucketExprW(col("v"), planeWeights(planes, dim))
+      case None => bucketExpr(col("v"), planes)
+    }
+    // repartition by the partition column: each bucket's rows land in one
+    // task, so the 2^planes directory files are written in parallel instead
+    // of one task sequentially opening every bucket's writer (guide §6
+    // output-layout note; same rows per directory, so reads are unchanged)
+    v.withColumn("bucket", bucketCol)
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket")
+      .options(graft.util.FastLocalFs.writeOptions) // no chmod fork per file
+      .mode("overwrite").parquet(path)
+  }
 
   /** LSH top-k over the bucket-partitioned layout: the probe-ball filter
     * lands on the `bucket` PARTITION column, so the scan reads only the
@@ -94,18 +191,19 @@ object Similarity {
     * Same result set as [[lshTopK]] with the same planes/ball. */
   def lshTopKBucketed(spark: org.apache.spark.sql.SparkSession, path: String,
       query: Array[Double], k: Int, planes: Int = 8, hammingBall: Int = 1): DataFrame = {
-    val q = array(query.map(lit): _*)
-    // the query's bucket is a literal: evaluate it once on the driver
-    val qBucket = spark.range(1).select(bucketExpr(q, planes).as("b")).head().getLong(0)
+    // the query's bucket is a literal: evaluate it on the driver (the
+    // localBucket fold is the exact arithmetic of the bucket expression,
+    // so no Spark job is needed for it)
+    val qBucket = localBucket(query, planeWeights(planes, query.length))
     // enumerate the probe ball as explicit partition values -> pruning is
     // a static IN-list over the partition column
     val ball = (0L until (1L << planes))
       .filter(b => java.lang.Long.bitCount(b ^ qBucket) <= hammingBall)
-    spark.read.parquet(path)
-      .where(col("bucket").isin(ball: _*))
-      .select(col("id"), cosine(col("v"), q).as("cosine"))
-      .orderBy(col("cosine").desc, col("id"))
-      .limit(k)
+    cosineTopK(
+      spark.read.parquet(path)
+        .where(col("bucket").isin(ball: _*))
+        .select(col("id"), col("v")),
+      query, k)
   }
 
   /** Local cosine (driver-side probe planning). */
@@ -136,11 +234,22 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val v = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     val withFeat = v.withColumn("features", array_to_vector(col("v")))
+    // (ml.KMeans persists an uncached input internally, so no extra cache
+    // here — measured: an explicit .cache() only added a second
+    // materialization pass on top of KMeans' own.) coalesce(1) +
+    // in-partition sort produces the same single id-sorted partition the
+    // old orderBy+coalesce pinned (ids are unique, partition concatenation
+    // is deterministic), without the range-sampling job and its exchange.
     val model = new KMeans().setK(cells).setSeed(seed).setMaxIter(maxIter)
-      .fit(withFeat.orderBy("id").coalesce(1))
+      .fit(withFeat.coalesce(1).sortWithinPartitions("id"))
+    // repartition by the partition column: parallel per-cell file writes
+    // (see writeBucketed; rows per directory unchanged)
     model.transform(withFeat)
       .select(col("id"), col("v"), col("prediction").as("cell"))
-      .write.partitionBy("cell").mode("overwrite").parquet(path)
+      .repartition(col("cell"))
+      .write.partitionBy("cell")
+      .options(graft.util.FastLocalFs.writeOptions) // no chmod fork per file
+      .mode("overwrite").parquet(path)
     model.clusterCenters.map(_.toArray)
   }
 
@@ -154,12 +263,11 @@ object Similarity {
     val probeCells = centroids.zipWithIndex
       .sortBy { case (c, i) => (-cosineLocal(c, query), i) }
       .take(math.max(1, nprobe)).map(_._2)
-    val q = array(query.map(lit): _*)
-    spark.read.parquet(path)
-      .where(col("cell").isin(probeCells.toSeq: _*))
-      .select(col("id"), cosine(col("v"), q).as("cosine"))
-      .orderBy(col("cosine").desc, col("id"))
-      .limit(k)
+    cosineTopK(
+      spark.read.parquet(path)
+        .where(col("cell").isin(probeCells.toSeq: _*))
+        .select(col("id"), col("v")),
+      query, k)
   }
 
   /** All-pairs exact top-k neighbors for a SMALL id set (verification /

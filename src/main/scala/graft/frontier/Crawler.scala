@@ -436,7 +436,7 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
       Sieve.linearBuckets(col("linkIdx"), 0, cfg.nSeeds - 1L, parts * 8))
 
     val frontier = toFrontier(newUrls).transform(lc)
-    frontier.select("urlHash").write.mode(SaveMode.Overwrite).parquet(appendDir("seen", 0))
+    frontier.select("urlHash").write.options(graft.util.FastLocalFs.writeOptions).mode(SaveMode.Overwrite).parquet(appendDir("seen", 0))
     val hosts = newHostsFrom(frontier, emptyHosts).transform(lc)
     val ips = newIpsFrom(frontier, emptyIps).transform(lc)
     val headsInit = if (cfg.incrementalHeads) lc(buildHeadsState(frontier)) else null
@@ -490,14 +490,14 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
     // frontier/hosts joins are co-partitioned (SURVEY.md §4).
     inParallel(
       () => frontier.repartition(cfg.statePartitions, col("hostHash"))
-        .write.mode(SaveMode.Overwrite).parquet(stateDir(round, "frontier")),
+        .write.options(graft.util.FastLocalFs.writeOptions).mode(SaveMode.Overwrite).parquet(stateDir(round, "frontier")),
       () => hosts.repartition(math.max(1, cfg.statePartitions / 4), col("hostHash"))
-        .write.mode(SaveMode.Overwrite).parquet(stateDir(round, "hosts")),
+        .write.options(graft.util.FastLocalFs.writeOptions).mode(SaveMode.Overwrite).parquet(stateDir(round, "hosts")),
       () => ips.repartition(math.max(1, cfg.statePartitions / 4), col("ipHash"))
-        .write.mode(SaveMode.Overwrite).parquet(stateDir(round, "ips")),
+        .write.options(graft.util.FastLocalFs.writeOptions).mode(SaveMode.Overwrite).parquet(stateDir(round, "ips")),
       () => if (headsState != null)
         headsState.repartition(math.max(1, cfg.statePartitions / 4), col("hostHash"))
-          .write.mode(SaveMode.Overwrite).parquet(stateDir(round, "heads")))
+          .write.options(graft.util.FastLocalFs.writeOptions).mode(SaveMode.Overwrite).parquet(stateDir(round, "heads")))
     // scalars LAST: its _SUCCESS is the snapshot-completeness marker.
     // headsK is persisted so a resume can detect a window-size change
     // (burst/headSlack grown between runs) and rebuild the heads state —
@@ -505,7 +505,7 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
     // truncate the first selection otherwise.
     Seq((maxSeq, round, frontSize, headsK))
       .toDF("maxSeq", "round", "frontSize", "headsK")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(stateDir(round, "scalars"))
+      .coalesce(1).write.options(graft.util.FastLocalFs.writeOptions).mode(SaveMode.Overwrite).parquet(stateDir(round, "scalars"))
   }
 
   /** Append-only tables are round=N partition dirs: one partition-
@@ -838,7 +838,7 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
         min("seq").as("lo"), max("seq").as("hi"),
         sum("nLinks").as("nl")) // raw-outlink upper bound, sizes the batch bloom
       .drop("nLinks")
-      .write.mode(SaveMode.Overwrite).parquet(appendDir("trace", round))
+      .write.options(graft.util.FastLocalFs.writeOptions).mode(SaveMode.Overwrite).parquet(appendDir("trace", round))
     val obsRow = traceObs.get
     val fetchedCount = obsRow("cnt").asInstanceOf[Long]
     val linksUpper = obsRow("nl") match {
@@ -1104,7 +1104,7 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
         .where(col("isRobots"))
         .select(col("url"), col("schemeAuthority"), col("status"),
           col("excClass"), col("robotsPrefixes"))
-        .write.mode(SaveMode.Overwrite).parquet(appendDir("robots_fetches", round)),
+        .write.options(graft.util.FastLocalFs.writeOptions).mode(SaveMode.Overwrite).parquet(appendDir("robots_fetches", round)),
       () => if (cfg.storeDocs) {
         // the duplicates telemetry rides the docs write as an observed
         // aggregate BELOW the store filter (all flagged pages flow through
@@ -1128,12 +1128,12 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
             size(filter(coalesce(col("links"), array()),
               l => burl_host(l) =!= burl_host(col("url"))))
               .as("n_links_ext")) // round = partition dir
-          .write.mode(SaveMode.Overwrite).parquet(appendDir("docs", round))
+          .write.options(graft.util.FastLocalFs.writeOptions).mode(SaveMode.Overwrite).parquet(appendDir("docs", round))
         duplicates = dupObs.get("dups") match {
           case null => 0L
           case l: java.lang.Long => l.longValue()
         }
-        newDigests.write.mode(SaveMode.Overwrite).parquet(appendDir("digests", round))
+        newDigests.write.options(graft.util.FastLocalFs.writeOptions).mode(SaveMode.Overwrite).parquet(appendDir("digests", round))
       },
       // host-state update (materializes the hostsU cache + hostAgg
       // broadcast) and the tombstone DELTA fold — both independent of the
@@ -1215,7 +1215,7 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
       // — the reference sieve recorded them before append()'s budget
       // re-check)
       () => sievedInput.select("urlHash")
-        .write.mode(SaveMode.Overwrite).parquet(appendDir("seen", round)),
+        .write.options(graft.util.FastLocalFs.writeOptions).mode(SaveMode.Overwrite).parquet(appendDir("seen", round)),
       // per-round DELTA bloom (sized by dedupIn, an upper bound on the
       // delta): a plain bloom_agg AGGREGATION job over the lc'd sieve
       // output — partial filters merge executor-side through the
@@ -1306,7 +1306,7 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
     var headsNextV: DataFrame = null
     var selHosts = 0L
     inParallel(
-      () => metricsOut.write.mode(SaveMode.Overwrite).parquet(appendDir("metrics", round)),
+      () => metricsOut.write.options(graft.util.FastLocalFs.writeOptions).mode(SaveMode.Overwrite).parquet(appendDir("metrics", round)),
       () => if (!snapDue) hNextMem = hostsNext.transform(lc),
       () => if (!snapDue) iNextMem = ipsNext.transform(lc),
       () => if (cfg.storeDocs) digestsLc = newDigests.transform(lc),
