@@ -571,11 +571,24 @@ class Crawler(spark: SparkSession, workDir: String, cfg: CrawlConfig) {
       : Seq[org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]] = {
     if (!cfg.useBloom || state.maxSeq < cfg.bloomMinSeen) return Nil
     if (bloomRound != state.round || bloomBank.isEmpty) {
-      // cold start / resume: one consolidated filter from the seen table
+      // cold start / resume: one consolidated filter from the seen table,
+      // sized by the ACTUAL seen row count (maxSeq counts every sieved
+      // row), capped at cfg.bloomExpected. Sizing by the configured
+      // whole-crawl capacity built a ~58 MB filter when seen held ~1-2 M
+      // hashes: full-capacity per-partition partials merged at build time
+      // (partitions × 58 MB of allocation + OR traffic), a 58 MB
+      // broadcast, and — the real cost — every candidate URL of the
+      // widest per-round stream probing a DRAM-resident bitset instead of
+      // a cache-resident one (the LLC-capacity contention term of the
+      // BASELINE floor model). Exactness is unchanged either way: the
+      // bloom only prefilters the exact anti-join, so a smaller filter
+      // admits a few % more rows to the exact path and zero result change.
+      // The periodic consolidation (extendBloom) re-sizes the same way as
+      // the crawl grows.
       clearBloomBank()
+      val expected = math.max(1024L, math.min(state.maxSeq, cfg.bloomExpected))
       bloomBank = Vector(spark.sparkContext.broadcast(
-        state.seen.stat.bloomFilter("urlHash",
-          math.max(cfg.bloomExpected, 1L), cfg.bloomFpp)))
+        state.seen.stat.bloomFilter("urlHash", expected, cfg.bloomFpp)))
       bloomRound = state.round
     }
     bloomBank
