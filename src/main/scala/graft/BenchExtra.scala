@@ -28,7 +28,8 @@ object BenchExtra {
       .master(s"local[$cpus]")
       .appName("graft-bench-extra")
       .config("spark.sql.shuffle.partitions", cpus.toString)
-      .config("spark.local.dir", s"/dev/shm/graft-benchx-spark")
+      .config("spark.local.dir",
+        s"/dev/shm/graft-benchx-spark-${java.lang.ProcessHandle.current().pid()}")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.locality.wait", "0")
@@ -50,10 +51,14 @@ object BenchExtra {
     wanted.foreach { name =>
       val fn = SparkEntry.queries(name)
       spark.sparkContext.setJobDescription(name)
+      var failed = false
       val walls = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[benchx] $name: $e") }
+        catch { case e: Throwable =>
+          failed = true
+          System.err.println(s"[benchx] $name: $e")
+        }
         (System.nanoTime() - t0) / 1e9
       }
       try {
@@ -61,7 +66,10 @@ object BenchExtra {
           org.apache.spark.sql.execution.FormattedMode)
         Files.writeString(Paths.get(s"$outDir/$name.txt"), plan)
       } catch { case e: Throwable => System.err.println(s"[benchx] explain $name: $e") }
-      val line = f"$name%-32s ${walls.map(w => f"$w%7.3f").mkString(" ")}"
+      // a failed rep's wall is time-to-exception, not a measurement —
+      // mark it so _walls.txt can never pass failure off as a speedup
+      val line = f"$name%-32s ${walls.map(w => f"$w%7.3f").mkString(" ")}" +
+        (if (failed) "  ERROR" else "")
       println("BENCHX " + line)
       out.append(line).append('\n')
       spark.sparkContext.setJobDescription(null)

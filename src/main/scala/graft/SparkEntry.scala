@@ -29,7 +29,11 @@ object SparkEntry {
     // virtual disk — the partitioned index WRITE was ~4 s of pure file
     // commit overhead there vs <1 s on /dev/shm (same reasoning as the
     // Bench/crawl work dirs; a real cluster has per-executor NVMe).
-    // Everything here is scratch, deleted by cleanupTempDirs.
+    // Everything here is scratch, deleted by cleanupTempDirs, and
+    // FIXED-SIZE regardless of the sf dir: the ANN indexes are the
+    // embeddings table (<10 MB at sf0.1) and the mini-crawl config is a
+    // constant (60 sites, 4 rounds), so tmpfs capacity is not a function
+    // of scale factor.
     val shm = java.nio.file.Paths.get("/dev/shm")
     val p =
       if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))

@@ -17,6 +17,15 @@ import graft.functions._
   *  - SimHash: 64-bit signature per doc + band-exploded bucketing, same
   *    join shape;
   *  - verification (exact n-gram Jaccard) runs only on LSH candidates.
+  *
+  * Materialization note: the candidate-pair builders materialize the
+  * per-doc signature table with `localCheckpoint` (unreplicated
+  * block-manager blocks, lineage truncated) so the self-join + skew-cap
+  * + verification joins read it instead of re-deriving the signatures
+  * 4-6x. On a long-lived production cluster the same boundary should be
+  * a write-out/read-back (or a replicated storage level) so executor
+  * loss stays recoverable — the signature table is ~10^4x smaller than
+  * the corpus either way (guide §8: decide on small rows).
   */
 object Dedup {
 

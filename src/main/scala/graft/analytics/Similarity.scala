@@ -136,8 +136,12 @@ object Similarity {
     // adaptive expressions (identical results either way).
     val (bucketCol, qBucket) = uniformDim(v, "v") match {
       case Some(dim) =>
-        val w = planeWeights(planes, dim)
-        (bucketExprW(col("v"), w), lit(localBucket(query, w)))
+        // weight(p, i) depends only on (p, i), so the query bucket uses a
+        // table sized by the QUERY's own length — same values as the old
+        // bucketExpr over the query's indices even if query and corpus
+        // dimensions disagree
+        (bucketExprW(col("v"), planeWeights(planes, dim)),
+          lit(localBucket(query, planeWeights(planes, query.length))))
       case None =>
         val q = array(query.map(lit): _*)
         (bucketExpr(col("v"), planes), bucketExpr(q, planes))

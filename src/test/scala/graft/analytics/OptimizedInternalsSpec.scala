@@ -48,6 +48,19 @@ class OptimizedInternalsSpec extends AnyFunSuite {
     assert(Similarity.localBucket(q, w) == sparkBucket)
   }
 
+  test("lshTopK with a query longer than the corpus dimension still completes") {
+    // weight(p, i) depends only on (p, i): the query bucket is computed
+    // with a table sized by the query's own length, so a dimension
+    // mismatch must not throw (the old per-row expression completed too)
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val emb = (1L to 40L).map(i => (i, Array.fill(6)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = Array.fill(8)(rnd.nextGaussian())
+    val rows = Similarity.lshTopK(emb, "vec_id", "embedding", q, 5, planes = 3).collect()
+    assert(rows.length <= 5) // completes; probe ball may or may not match
+  }
+
   test("normExpr + cosineWithNorms are bit-identical to the one-shot cosine") {
     val rnd = new scala.util.Random(17)
     val v = randVecs(60, 8, 17)

@@ -29,6 +29,12 @@ def main(before, after):
     names = sorted(n for n in os.listdir(before)
                    if os.path.isdir(os.path.join(before, n)))
     n_same = n_diff = 0
+    # symmetric coverage: an output present only in AFTER (renamed or
+    # added) must fail the gate, not silently skip comparison
+    for n in sorted(os.listdir(after)):
+        if os.path.isdir(os.path.join(after, n)) and n not in names:
+            n_diff += 1
+            print(f"DIFF {n}: present only in after dir")
     for name in names:
         a_dir = os.path.join(after, name)
         if not os.path.isdir(a_dir):
